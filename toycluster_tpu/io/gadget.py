@@ -1,0 +1,183 @@
+"""Gadget-1 snapshot writer (reference src/io.c:13-287, src/io.h).
+
+Byte-level layout: every block is framed as an F90 unformatted record pair —
+an 8-byte label record (4-char tag + int32 "nextblock" size) followed by the
+data record, each bracketed by int32 record lengths.  Blocks, in order:
+HEAD, POS, VEL, ID, U, RHO, HSML, BFLD, RHOM (io.h:31-41); gas-only blocks
+(U/RHO/HSML/BFLD/RHOM) cover particle type 0, the rest all 6 types.  Data is
+float32 / uint32 little-endian; particle masses ride in the header only
+(equal-mass types, io.c:50-53).  Empty blocks are still written with their
+framing, faithful to add_block (io.c:85-133).
+
+A reader is provided for round-trip tests and downstream tooling.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_HEADER_FMT = "<6i6d d d i i 6I i i d d d d i i 6I 64s"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+assert _HEADER_SIZE == 256
+
+
+@dataclass
+class GadgetHeader:
+    npart: list
+    mass: list
+    time: float = 0.0
+    redshift: float = 0.0
+    flag_sfr: int = 0
+    flag_feedback: int = 0
+    npart_total: list = None
+    flag_cooling: int = 0
+    num_files: int = 1
+    boxsize: float = 0.0
+    omega0: float = 1.0          # io.c:63
+    omega_lambda: float = 0.7    # io.c:64
+    hubble_param: float = 0.7    # io.c:65 (Cosmo.h_100)
+    flag_stellarage: int = 0
+    flag_metals: int = 0
+
+    def __post_init__(self):
+        if self.npart_total is None:
+            self.npart_total = list(self.npart)
+
+    def pack(self) -> bytes:
+        return struct.pack(
+            _HEADER_FMT, *self.npart, *self.mass, self.time, self.redshift,
+            self.flag_sfr, self.flag_feedback, *self.npart_total,
+            self.flag_cooling, self.num_files, self.boxsize, self.omega0,
+            self.omega_lambda, self.hubble_param, self.flag_stellarage,
+            self.flag_metals, 0, 0, 0, 0, 0, 0, b"")
+
+    @classmethod
+    def unpack(cls, raw: bytes) -> "GadgetHeader":
+        v = struct.unpack(_HEADER_FMT, raw)
+        return cls(npart=list(v[0:6]), mass=list(v[6:12]), time=v[12],
+                   redshift=v[13], flag_sfr=v[14], flag_feedback=v[15],
+                   npart_total=list(v[16:22]), flag_cooling=v[22],
+                   num_files=v[23], boxsize=v[24], omega0=v[25],
+                   omega_lambda=v[26], hubble_param=v[27],
+                   flag_stellarage=v[28], flag_metals=v[29])
+
+
+def _rec(payload: bytes) -> bytes:
+    n = struct.pack("<i", len(payload))
+    return n + payload + n
+
+
+def _block(label: str, payload: bytes) -> bytes:
+    """Label record + data record (io.c:117-128)."""
+    lab = label.encode("ascii")[:4].ljust(4)
+    head = _rec(lab + struct.pack("<i", len(payload) + 8))
+    return head + _rec(payload)
+
+
+# block table: (label, gas_only, values_per_element, dtype)
+BLOCKS = (
+    ("POS ", False, 3, np.float32),
+    ("VEL ", False, 3, np.float32),
+    ("ID  ", False, 1, np.uint32),
+    ("U   ", True, 1, np.float32),
+    ("RHO ", True, 1, np.float32),
+    ("HSML", True, 1, np.float32),
+    ("BFLD", True, 3, np.float32),
+    ("RHOM", True, 1, np.float32),
+)
+
+
+def write_snapshot(path: str, *, header: GadgetHeader, pos, vel, ids,
+                   u=None, rho=None, hsml=None, bfld=None, rho_model=None):
+    """Write all blocks in reference order. Gas-only arrays may be None or
+    empty when npart[0] == 0 (the framing is still emitted)."""
+    n_gas = header.npart[0]
+    data = {
+        "POS ": np.asarray(pos, np.float32),
+        "VEL ": np.asarray(vel, np.float32),
+        "ID  ": np.asarray(ids, np.uint32),
+        "U   ": u, "RHO ": rho, "HSML": hsml, "BFLD": bfld,
+        "RHOM": rho_model,
+    }
+    with open(path, "wb") as fp:
+        fp.write(_block("HEAD", header.pack()))
+        for label, gas_only, vpe, dtype in BLOCKS:
+            arr = data[label]
+            if gas_only:
+                arr = (np.zeros((0, vpe), dtype) if arr is None
+                       else np.asarray(arr, dtype)[:n_gas])
+            payload = np.ascontiguousarray(arr, dtype).tobytes()
+            fp.write(_block(label, payload))
+
+
+def read_snapshot(path: str) -> dict:
+    """Read a reference-format snapshot back into numpy arrays."""
+    out = {}
+    with open(path, "rb") as fp:
+        raw = fp.read()
+    off = 0
+
+    def take(n):
+        nonlocal off
+        chunk = raw[off:off + n]
+        off += n
+        return chunk
+
+    def record():
+        (n,) = struct.unpack("<i", take(4))
+        payload = take(n)
+        (n2,) = struct.unpack("<i", take(4))
+        assert n == n2, "corrupt F90 record"
+        return payload
+
+    while off < len(raw):
+        head = record()
+        label = head[:4].decode("ascii")
+        payload = record()
+        if label == "HEAD":
+            out["header"] = GadgetHeader.unpack(payload)
+        else:
+            out[label.strip()] = payload
+
+    hdr = out["header"]
+    n_all = sum(hdr.npart)
+    n_gas = hdr.npart[0]
+
+    def arr(label, n, vpe, dtype):
+        if label not in out:
+            return None
+        a = np.frombuffer(out[label], dtype)
+        return a.reshape(n, vpe) if vpe > 1 else a
+
+    return {
+        "header": hdr,
+        "pos": arr("POS", n_all, 3, np.float32),
+        "vel": arr("VEL", n_all, 3, np.float32),
+        "ids": arr("ID", n_all, 1, np.uint32),
+        "u": arr("U", n_gas, 1, np.float32),
+        "rho": arr("RHO", n_gas, 1, np.float32),
+        "hsml": arr("HSML", n_gas, 1, np.float32),
+        "bfld": arr("BFLD", n_gas, 3, np.float32),
+        "rho_model": arr("RHOM", n_gas, 1, np.float32),
+    }
+
+
+def write_scene_snapshot(path: str, scene, parts) -> GadgetHeader:
+    """Assemble the header from a Scene and dump a Particles pytree."""
+    import numpy as _np
+    npart = [scene.npart_gas, scene.npart_dm, 0, 0, 0, 0]
+    mass = [scene.mpart_gas, scene.mpart_dm, 0.0, 0.0, 0.0, 0.0]
+    header = GadgetHeader(npart=npart, mass=mass,
+                          boxsize=float(scene.boxsize),
+                          hubble_param=scene.cosmo.h_100)
+    write_snapshot(
+        path, header=header,
+        pos=_np.asarray(parts.pos), vel=_np.asarray(parts.vel),
+        ids=_np.asarray(parts.pid),
+        u=_np.asarray(parts.u), rho=_np.asarray(parts.rho),
+        hsml=_np.asarray(parts.hsml), bfld=_np.asarray(parts.bfld),
+        rho_model=_np.asarray(parts.rho_model))
+    return header

@@ -1,0 +1,206 @@
+"""Position sampling (device, jitted).
+
+Replaces the reference's per-thread erand48 rejection loops
+(positions.c:25-133) with vmapped inverse-CDF draws + masked
+`lax.while_loop` batch rejection under counter-based `jax.random` keys.
+Positions are sampled around each halo's centre; `shift_origin` moves them
+into the periodic box afterwards (setup.c:427-500).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..ops.interp import SplineTable, spline_eval
+from ..particles import HaloArrays, Particles, empty_particles, \
+    gas_density_device
+from ..scene import Scene
+
+_MAX_REJECT_ROUNDS = 4096  # safety cap; reference loops unboundedly
+
+
+def _sphere_dirs(key, n):
+    """Isotropic unit vectors via (theta, phi) draws (positions.c:58-65)."""
+    k1, k2 = jax.random.split(key)
+    cos_t = 2.0 * jax.random.uniform(k1, (n,)) - 1.0
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * const.PI * jax.random.uniform(k2, (n,))
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                     axis=-1)
+
+
+def halo_containing_gas(pos_abs, ha: HaloArrays, boxsize, cool_core=None):
+    """Which halo owns a gas particle at absolute centred coords:
+    the halo with the largest beta-model density at that point among
+    non-stripped halos with r < R_sample_gas (positions.c:363-385)."""
+    n = pos_abs.shape[0]
+    best = jnp.zeros((n,), jnp.int32)
+    rho_max = jnp.zeros((n,), pos_abs.dtype)
+    for j in range(ha.n_halos):
+        r = jnp.linalg.norm(pos_abs - ha.d_com[j], axis=-1)
+        rho = gas_density_device(r, ha, j, cool_core)
+        ok = ((rho > rho_max) & (r < ha.r_sample_gas[j])
+              & ~ha.is_stripped[j])
+        best = jnp.where(ok, j, best)
+        rho_max = jnp.where(ok, rho, rho_max)
+    oob = jnp.any(pos_abs > boxsize, axis=-1)  # positions.c:337-338
+    return jnp.where(oob, -1, best)
+
+
+def halo_containing_dm(pos_abs, ha: HaloArrays, sub_first, boxsize):
+    """DM ownership: halo 1 if within its sampling radius and x>0, else the
+    first subhalo whose sampling radius contains the point, else 0
+    (positions.c:342-361)."""
+    n = pos_abs.shape[0]
+    best = jnp.zeros((n,), jnp.int32)
+    if ha.n_halos > 1 and sub_first > 1:
+        r1 = jnp.linalg.norm(pos_abs - ha.d_com[1], axis=-1)
+        best = jnp.where((r1 < ha.r_sample_dm[1]) & (pos_abs[:, 0] > 0),
+                         1, best)
+    # first matching subhalo wins (break in the reference) -> scan high to low
+    for j in range(ha.n_halos - 1, sub_first - 1, -1):
+        rj = jnp.linalg.norm(pos_abs - ha.d_com[j], axis=-1)
+        best = jnp.where(rj < ha.r_sample_dm[j], j, best)
+    oob = jnp.any(pos_abs > boxsize, axis=-1)
+    return jnp.where(oob, -1, best)
+
+
+def _rejection_sample(key, n, draw_fn, accept_fn):
+    """Masked batch rejection: redraw all unaccepted lanes per round."""
+    pos0 = jnp.zeros((n, 3), jnp.float32)
+    acc0 = jnp.zeros((n,), bool)
+
+    def cond(state):
+        i, _, acc, _ = state
+        return (~jnp.all(acc)) & (i < _MAX_REJECT_ROUNDS)
+
+    def body(state):
+        i, key, acc, pos = state
+        key, sub = jax.random.split(key)
+        cand = draw_fn(sub, n)
+        ok = accept_fn(cand)
+        take = (~acc) & ok
+        pos = jnp.where(take[:, None], cand, pos)
+        return i + 1, key, acc | ok, pos
+
+    _, _, acc, pos = jax.lax.while_loop(cond, body, (0, key, acc0, pos0))
+    return pos, acc
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def sample_halo_dm(key, ha: HaloArrays, i: int, n: int, sub_first: int,
+                   boxsize: float):
+    """Hernquist inverse-CDF sampling with foreign-halo rejection
+    (positions.c:48-88)."""
+    a = ha.a_hernq[i]
+    qmax = ha.mass_corr_fac[i]
+
+    def draw(k, m):
+        kd, kr = jax.random.split(k)
+        dirs = _sphere_dirs(kd, m)
+        sq = jnp.sqrt(jax.random.uniform(kr, (m,)) * qmax)
+        r = a * sq / (1.0 - sq)
+        return dirs * r[:, None]
+
+    def accept(cand):
+        return halo_containing_dm(cand + ha.d_com[i], ha, sub_first,
+                                  boxsize) == i
+
+    return _rejection_sample(key, n, draw, accept)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def sample_halo_gas(key, ha: HaloArrays, i: int, n: int, boxsize: float,
+                    cool_core=None):
+    """Beta-model sampling by inverting the tabulated M(<r), with
+    foreign-halo and out-of-box rejection (positions.c:90-133)."""
+    table = SplineTable(ha.minv_x[i], ha.minv_y[i], ha.minv_m2[i])
+    boxhalf = boxsize / 2.0
+
+    def draw(k, m):
+        kd, kr = jax.random.split(k)
+        dirs = _sphere_dirs(kd, m)
+        mass = jax.random.uniform(kr, (m,)) * ha.mass_gas[i]
+        r = spline_eval(table, mass)
+        return dirs * r[:, None]
+
+    def accept(cand):
+        owner = halo_containing_gas(cand + ha.d_com[i], ha, boxsize,
+                                    cool_core)
+        inside = jnp.all(jnp.abs(cand) <= boxhalf, axis=-1)
+        return (owner == i) & inside
+
+    return _rejection_sample(key, n, draw, accept)
+
+
+def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
+    """Sample all halos; returns Particles with centred per-halo coords
+    (gas first, then DM, both grouped by halo, matching setup.c:253-264)."""
+    cfg = scene.config
+    cool_core = ((cfg.rho0_fac, cfg.rc_fac)
+                 if cfg.double_beta_cool_cores else None)
+    parts = empty_particles(scene.npart_gas, scene.npart_dm)
+
+    gas_chunks, gas_halo = [], []
+    dm_chunks, dm_halo = [], []
+    for i, h in enumerate(scene.halos):
+        ki = jax.random.fold_in(key, i)
+        kg, kd = jax.random.split(ki)
+        if h.npart_gas:
+            pos, acc = sample_halo_gas(kg, ha, i, h.npart_gas,
+                                       scene.boxsize, cool_core)
+            gas_chunks.append(pos)
+            gas_halo.append(jnp.full((h.npart_gas,), i, jnp.int32))
+        if h.npart_dm:
+            pos, acc = sample_halo_dm(kd, ha, i, h.npart_dm,
+                                      scene.sub_first, scene.boxsize)
+            dm_chunks.append(pos)
+            dm_halo.append(jnp.full((h.npart_dm,), i, jnp.int32))
+
+    pos = jnp.concatenate(
+        [c for c in gas_chunks + dm_chunks] or
+        [jnp.zeros((0, 3), jnp.float32)])
+    halo = jnp.concatenate(
+        [c for c in gas_halo + dm_halo] or [jnp.zeros((0,), jnp.int32)])
+    return parts._replace(pos=pos, halo=halo)
+
+
+def shift_origin(parts: Particles, ha: HaloArrays, boxsize: float
+                 ) -> Particles:
+    """Move halos to their CoM offsets, add bulk velocities, shift the origin
+    to the box corner and wrap periodically (setup.c:427-500)."""
+    shift = ha.d_com[parts.halo] + boxsize / 2.0
+    pos = parts.pos + shift
+    pos = pos - jnp.floor(pos / boxsize) * boxsize
+    vel = parts.vel + ha.bulk_vel[parts.halo]
+    return parts._replace(pos=pos, vel=vel)
+
+
+def reassign_gas_to_halos(parts: Particles, ha: HaloArrays, boxsize: float,
+                          cool_core=None):
+    """Post-relaxation halo membership + stable resort of the gas block by
+    halo id (positions.c:264-329).  Returns (particles, per-halo gas counts).
+    """
+    n_gas = parts.n_gas
+    pos_centered = parts.gas_pos - boxsize / 2.0
+    owner = halo_containing_gas(pos_centered, ha, boxsize, cool_core)
+    order = jnp.argsort(owner, stable=True)
+    counts = jnp.bincount(jnp.maximum(owner, 0), length=ha.n_halos)
+
+    def permute_gas(arr):
+        return arr.at[:n_gas].set(arr[:n_gas][order]) if arr.ndim else arr
+
+    new = parts._replace(
+        pos=permute_gas(parts.pos), vel=permute_gas(parts.vel),
+        pid=permute_gas(parts.pid),
+        halo=parts.halo.at[:n_gas].set(owner[order]),
+        u=parts.u[order], rho=parts.rho[order], hsml=parts.hsml[order],
+        var_hsml_fac=parts.var_hsml_fac[order],
+        rho_model=parts.rho_model[order], bfld=parts.bfld[order],
+        apot=parts.apot[order])
+    return new, counts

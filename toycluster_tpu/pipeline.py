@@ -1,0 +1,75 @@
+"""End-to-end IC pipeline — the reference's `main()` (main.c:11-72) as a
+library function.
+
+Stages (gas stages skipped when baryon fraction is zero, main.c:50-63):
+  setup -> positions -> ids -> shift origin -> [WVT relax -> SPH density ->
+  B field -> reassign -> temperatures] -> velocities -> kinematics -> output
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .scene import Scene, build_scene
+from .particles import Particles, HaloArrays, halo_arrays_from_scene
+from .models import ids as ids_mod
+from .models import positions as pos_mod
+from .utils.logging import stage_log
+
+
+def make_ics(cfg: Config, *, seed: Optional[int] = None,
+             write: bool = True, log=stage_log):
+    """Run the full pipeline; returns (scene, particles)."""
+    t0 = time.perf_counter()
+    scene = build_scene(cfg)
+    log("setup", scene=scene)
+
+    ha = halo_arrays_from_scene(scene)
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+
+    parts = pos_mod.make_positions(key, scene, ha)
+    log("positions", n=parts.n_total)
+
+    pid = ids_mod.make_ids(scene.npart_gas, scene.ntotal)
+    parts = parts._replace(pid=jnp.asarray(pid))
+
+    parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+    log("shift_origin")
+
+    if not scene.dm_only:
+        from .models import wvt, sph, bfield, temperature
+        parts = wvt.regularise_sph_particles(scene, ha, parts, log=log)
+        parts = sph.find_sph_quantities(scene, ha, parts)
+        log("sph_quantities")
+        if cfg.bfld_norm:
+            parts = bfield.make_magnetic_field(scene, ha, parts)
+            log("magnetic_field")
+        cool_core = ((cfg.rho0_fac, cfg.rc_fac)
+                     if cfg.double_beta_cool_cores else None)
+        parts, _ = pos_mod.reassign_gas_to_halos(parts, ha, scene.boxsize,
+                                                 cool_core)
+        log("reassign")
+        parts = temperature.make_temperatures(scene, parts)
+        log("temperatures")
+
+    from .models import velocities, kinematics
+    parts = velocities.make_velocities(key, scene, ha, parts)
+    log("velocities")
+
+    parts = kinematics.apply_kinematics(scene, parts)
+    log("kinematics")
+
+    if write:
+        from .io.gadget import write_scene_snapshot
+        write_scene_snapshot(cfg.output_file, scene, parts)
+        log("output", path=cfg.output_file,
+            dt=time.perf_counter() - t0)
+
+    return scene, parts
