@@ -7,7 +7,9 @@ multi-chip path and benches on real TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: the environment pre-sets JAX_PLATFORMS=axon (remote TPU tunnel);
+# tests must force-override it, not setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,207 @@
+"""DM velocity sampling from the Eddington distribution function
+(reference velocities.c:38-159).
+
+The f(E) and potential tables are built host-side in float64
+(models/eddington.py); per-particle rejection sampling runs on device as a
+masked `lax.while_loop` with counter-based keys, reproducing the reference's
+bounded-retry semantics (90,000 tries then v=0, velocities.c:80-95).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..ops.interp import SplineTable, spline_eval
+from ..particles import HaloArrays, Particles
+from ..scene import Scene
+from .eddington import build_distribution_function, RMIN
+
+MAX_TRIES = 90_000  # velocities.c:80
+
+
+class VelocityTables(NamedTuple):
+    """Device export of one halo's f(E) + potential profile."""
+    fE: SplineTable             # f(E), ascending E knots
+    psi_gas: SplineTable        # gas potential spline (zeros if no gas)
+    has_gas: jnp.ndarray        # scalar bool
+    psi_rmax: jnp.ndarray       # point-mass continuation beyond r_max
+    r_max: jnp.ndarray
+    a_hernq: jnp.ndarray
+    mass_dm: jnp.ndarray
+    mtotal: jnp.ndarray
+    G: jnp.ndarray
+
+
+def build_velocity_tables(scene: Scene, i: int) -> VelocityTables:
+    h = scene.halos[i]
+    df = build_distribution_function(
+        mass_dm=h.mass_dm, a_hernq=h.a_hernq, G=scene.units.G,
+        mass_table=h.mass_table, r_sample_gas=h.r_sample_gas,
+        has_gas=h.npart_gas > 0)
+    f32 = jnp.float32
+    if df.psi.gas is not None:
+        gas_sp = df.psi.gas.spline
+        psi_gas = SplineTable(jnp.asarray(gas_sp.x, f32),
+                              jnp.asarray(gas_sp.y, f32),
+                              jnp.asarray(gas_sp.m2, f32))
+        psi_rmax = jnp.asarray(df.psi.gas.psi_rmax, f32)
+        r_max = jnp.asarray(df.psi.gas.r_max, f32)
+    else:
+        z = jnp.zeros((2,), f32)
+        psi_gas = SplineTable(jnp.asarray([0.0, 1.0], f32), z, z)
+        psi_rmax = jnp.asarray(0.0, f32)
+        r_max = jnp.asarray(1.0, f32)
+    return VelocityTables(
+        fE=SplineTable(jnp.asarray(df.spline.x, f32),
+                       jnp.asarray(df.spline.y, f32),
+                       jnp.asarray(df.spline.m2, f32)),
+        psi_gas=psi_gas, has_gas=jnp.asarray(df.psi.gas is not None),
+        psi_rmax=psi_rmax, r_max=r_max,
+        a_hernq=jnp.asarray(h.a_hernq, f32),
+        mass_dm=jnp.asarray(h.mass_dm, f32),
+        mtotal=jnp.asarray(h.mtotal, f32),
+        G=jnp.asarray(scene.units.G, f32))
+
+
+def potential_device(vt: VelocityTables, r):
+    """psi(r) = G M_dm/(r+a) + psi_gas(r) (velocities.c:323-331,437-447)."""
+    psi = vt.G * vt.mass_dm / (r + vt.a_hernq)
+    inside = spline_eval(vt.psi_gas, jnp.minimum(r, vt.r_max))
+    outside = vt.psi_rmax * vt.r_max / jnp.maximum(r, vt.r_max)
+    gas = jnp.where(r < vt.r_max, inside, outside)
+    return psi + jnp.where(vt.has_gas, gas, 0.0)
+
+
+_K_DRAWS = 16  # candidate draws per lane per round
+
+
+def _rejection_rounds(key, vt, psi, vmax, qmax, max_rounds, stop_count=0):
+    """Masked batch rejection with K candidates per lane per round; the
+    first accepted candidate of a lane wins (equivalent to K serial tries).
+    Loops until at most `stop_count` lanes remain or the round budget is
+    spent.  Returns (v, done)."""
+    n = psi.shape[0]
+
+    def cond(state):
+        it, _, done, _ = state
+        return (jnp.sum(~done) > stop_count) & (it < max_rounds)
+
+    def body(state):
+        it, key, done, v = state
+        key, k1, k2 = jax.random.split(key, 3)
+        lower = qmax[:, None] * jax.random.uniform(k1, (n, _K_DRAWS))
+        vc = vmax[:, None] * jax.random.uniform(k2, (n, _K_DRAWS))
+        e_tot = 0.5 * vc * vc - psi[:, None]
+        q = (4.0 * const.PI * vc**2 / vt.mtotal
+             * spline_eval(vt.fE, -e_tot))
+        ok = q >= lower
+        any_ok = jnp.any(ok, axis=1)
+        first = jnp.argmax(ok, axis=1)
+        v_new = jnp.take_along_axis(vc, first[:, None], axis=1)[:, 0]
+        v = jnp.where(~done & any_ok, v_new, v)
+        return it + 1, key, done | any_ok, v
+
+    state = (0, key, jnp.zeros((n,), bool), jnp.zeros((n,), jnp.float32))
+    _, _, done, v = jax.lax.while_loop(cond, body, state)
+    return v, done
+
+
+@jax.jit
+def sample_speeds(key, vt: VelocityTables, r):
+    """Rejection-sample |v| for particles at radii r (velocities.c:62-95).
+
+    Two phases keep the wide batch cheap: a full-width pass until only a
+    small tail of low-acceptance (central) lanes remains, then a compacted
+    pass that runs those lanes to the reference's 90,000-try cap; lanes
+    exceeding the cap fall back to v=0 like the reference.
+    """
+    n = r.shape[0]
+    r = jnp.maximum(jnp.float32(RMIN), r)
+    psi = potential_device(vt, r)
+    vmax = jnp.sqrt(2.0 * psi)
+    qmax = 4.0 * const.PI * vmax**2 / vt.mtotal * spline_eval(vt.fE, psi)
+
+    m = max(64, n // 64)  # compacted tail width
+    ka, kb = jax.random.split(key)
+    v, done = _rejection_rounds(ka, vt, psi, vmax, qmax,
+                                max_rounds=MAX_TRIES // _K_DRAWS,
+                                stop_count=min(m, n) - 1 if n > m else 0)
+    if n > m:
+        idx = jnp.nonzero(~done, size=m, fill_value=0)[0]
+        lane = jnp.arange(m) < jnp.sum(~done)
+        v_t, done_t = _rejection_rounds(
+            kb, vt, psi[idx], vmax[idx], qmax[idx],
+            max_rounds=MAX_TRIES // _K_DRAWS)
+        upd = lane & done_t
+        v = v.at[idx].set(jnp.where(upd, v_t, v[idx]))
+        done = done.at[idx].set(jnp.where(lane, done_t, done[idx]))
+    return jnp.where(done, v, 0.0)  # v=0 after MAX_TRIES (velocities.c:94)
+
+
+def _sphere_dirs(key, n):
+    k1, k2 = jax.random.split(key)
+    cos_t = 2.0 * jax.random.uniform(k1, (n,)) - 1.0
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * const.PI * jax.random.uniform(k2, (n,))
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                     axis=-1)
+
+
+def _wc2(r, h):
+    """WC2 kernel used to taper subhalo gas bulk velocities
+    (velocities.c:161-167)."""
+    u = r / h
+    t = jnp.maximum(1.0 - u, 0.0)
+    return 21.0 / 2.0 / const.PI / h**3 * t**4 * (1.0 + 4.0 * u)
+
+
+def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
+                    ) -> Particles:
+    """Assign DM peculiar velocities per halo, then add bulk velocities
+    (gas of subhalos tapered by a WC2 kernel weight) (velocities.c:38-159).
+    """
+    boxhalf = scene.boxhalf
+    vel = parts.vel
+    n_gas = scene.npart_gas
+
+    # DM blocks are contiguous per halo after the gas block
+    dm_offsets = []
+    off = n_gas
+    for h in scene.halos:
+        dm_offsets.append(off)
+        off += h.npart_dm
+
+    for i, h in enumerate(scene.halos):
+        if h.npart_dm == 0:
+            continue
+        vt = build_velocity_tables(scene, i)
+        sl = slice(dm_offsets[i], dm_offsets[i] + h.npart_dm)
+        d = parts.pos[sl] - (ha.d_com[i] + boxhalf)
+        r = jnp.linalg.norm(d, axis=-1)
+        ki = jax.random.fold_in(key, 1000 + i)
+        v = sample_speeds(ki, vt, r)
+        dirs = _sphere_dirs(jax.random.fold_in(ki, 1), h.npart_dm)
+        bulk = jnp.asarray(h.bulk_vel, jnp.float32)
+        vel = vel.at[sl].set(v[:, None] * dirs + bulk)
+
+    # gas bulk velocities (velocities.c:119-151)
+    if n_gas:
+        gas_halo = parts.halo[:n_gas]
+        bulk = ha.bulk_vel[gas_halo]
+        wk = jnp.ones((n_gas,), jnp.float32)
+        for i in range(scene.sub_first, scene.nhalos):
+            hsub = scene.halos[i]
+            hh = hsub.r_sample_gas * 1.1
+            norm = 21.0 / 2.0 / const.PI / hh**3
+            d = parts.pos[:n_gas] - (ha.d_com[i] + boxhalf)
+            r = jnp.linalg.norm(d, axis=-1)
+            wk = jnp.where(gas_halo == i, _wc2(r, hh) / norm, wk)
+        vel = vel.at[:n_gas].add(bulk * wk[:, None])
+
+    return parts._replace(vel=vel)
