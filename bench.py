@@ -1,0 +1,85 @@
+"""Headline benchmark: WVT-relax particle-updates/sec on one chip.
+
+Runs the hot loop of the pipeline (SPH density + adaptive hsml solve +
+kernel-weighted displacement + move, i.e. one full WVT iteration,
+wvt_relax.c:61-218) on a single-cluster gas distribution and reports
+throughput as one JSON line.
+
+`vs_baseline` compares against the measured single-core CPU throughput of
+a faithful C/OpenMP re-implementation of the same iteration (the reference
+publishes no numbers — BASELINE.md); see bench_ref/ and
+BASELINE_MEASURED.json for methodology.
+"""
+
+import json
+import os
+import sys
+import time
+
+N_GAS = int(os.environ.get("BENCH_N_GAS", 1_000_000))
+ITERS = int(os.environ.get("BENCH_ITERS", 4))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from toycluster_tpu import parse_par_file
+    from toycluster_tpu.scene import build_scene
+    from toycluster_tpu.particles import halo_arrays_from_scene
+    from toycluster_tpu.models import positions as pos_mod
+    from toycluster_tpu.models import sph as sph_mod
+    from toycluster_tpu.models import wvt
+    from toycluster_tpu.utils.logging import silent_log
+
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=2 * N_GAS, wvt_max_iter=ITERS)
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    key = jax.random.PRNGKey(1)
+
+    parts = pos_mod.make_positions(key, scene, ha)
+    parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+    n_gas = parts.n_gas
+
+    # warmup: one full iteration compiles every program in the loop
+    parts = wvt.regularise_sph_particles(
+        scene, ha, parts, log=silent_log)  # bounded by wvt_max_iter... warm
+    # timed: fixed number of iterations, no early stop
+    cfg_t = cfg.replace(wvt_max_iter=ITERS)
+    scene_t = scene  # same tables
+
+    t0 = time.perf_counter()
+    it_count = [0]
+
+    def log(stage, **kw):
+        if stage == "wvt":
+            it_count[0] += 1
+
+    parts = wvt.regularise_sph_particles(scene_t, ha, parts, log=log)
+    jax.block_until_ready(parts.pos)
+    dt = time.perf_counter() - t0
+    iters = max(it_count[0], 1)
+
+    updates_per_sec = n_gas * iters / dt
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BASELINE_MEASURED.json")) as f:
+            baseline = json.load(f).get("ref_updates_per_sec")
+    except Exception:
+        pass
+    vs = updates_per_sec / baseline if baseline else None
+
+    print(json.dumps({
+        "metric": "wvt_relax_particle_updates_per_sec_per_chip",
+        "value": round(updates_per_sec, 1),
+        "unit": "particle-updates/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "n_gas": n_gas, "iters": iters, "seconds": round(dt, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

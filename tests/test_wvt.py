@@ -1,0 +1,70 @@
+"""WVT relaxation: error-vs-iteration must fall and the SPH density field
+must approach the analytic model (the reference's printed per-iteration
+error stats are its convergence oracle, wvt_relax.c:91-92)."""
+
+import jax
+import numpy as np
+import pytest
+
+from toycluster_tpu import parse_par_file
+from toycluster_tpu.models import positions as pos_mod
+from toycluster_tpu.models import sph as sph_mod
+from toycluster_tpu.models import wvt
+from toycluster_tpu.particles import halo_arrays_from_scene
+from toycluster_tpu.scene import build_scene
+from toycluster_tpu.utils.logging import silent_log
+
+
+@pytest.fixture(scope="module")
+def relaxed():
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=6000, wvt_max_iter=12)
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    key = jax.random.PRNGKey(11)
+    parts = pos_mod.make_positions(key, scene, ha)
+    parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+
+    errs = []
+
+    def log(stage, **kw):
+        if stage == "wvt":
+            errs.append(kw["err_mean"])
+
+    parts = wvt.regularise_sph_particles(scene, ha, parts, log=log)
+    return scene, ha, parts, errs
+
+
+def test_error_decreases(relaxed):
+    scene, ha, parts, errs = relaxed
+    assert len(errs) >= 5
+    # mean relative density error must drop substantially from the raw
+    # sampling (first iteration) to the relaxed state
+    assert errs[-1] < 0.75 * errs[0]
+    # and the trajectory should be mostly monotone downward
+    drops = sum(1 for a, b in zip(errs[:-1], errs[1:]) if b < a)
+    assert drops >= 0.6 * (len(errs) - 1)
+
+
+def test_neighbour_contract_after_relaxation(relaxed):
+    scene, ha, parts, errs = relaxed
+    parts2 = sph_mod.find_sph_quantities(scene, ha, parts)
+    rho = np.asarray(parts2.rho)
+    hsml = np.asarray(parts2.hsml)
+    assert (rho > 0).all() and (hsml > 0).all()
+    assert np.isfinite(hsml).all()
+    # the solved state satisfies (4pi/3) h^3 rho / m ~ DESNNGB — the
+    # kernel-weighted contract |wkNgb-295|<0.05 implies this volume count
+    # matches within the kernel-shape factor (a few per cent)
+    wk_est = 4.18879032135 / 3 * hsml**3 * rho / scene.mpart_gas
+    assert abs(np.median(wk_est) / scene.config.desnngb - 1) < 0.1
+
+
+def test_density_tracks_model(relaxed):
+    scene, ha, parts, errs = relaxed
+    pos = parts.pos[: parts.n_gas]
+    rho_model = sph_mod.global_density_model(pos, ha, scene.boxsize)
+    err = np.abs(np.asarray(parts.rho) - np.asarray(rho_model)) \
+        / np.asarray(rho_model)
+    # after 12 iterations at this resolution the bulk should be within ~15%
+    assert np.median(err) < 0.15

@@ -16,6 +16,28 @@ search + fixed-shape Pallas kernels) for all O(N·k) SPH operators.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """XLA compiles dominate start-up on this class of host; persist them.
+    Opt out with TOYCLUSTER_NO_JAX_CACHE=1 or JAX_COMPILATION_CACHE_DIR."""
+    if _os.environ.get("TOYCLUSTER_NO_JAX_CACHE"):
+        return
+    import jax
+    cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 from .config import Config, parse_par_file  # noqa: F401
 from .units import Units, units_from_config  # noqa: F401
 from .cosmology import Cosmology, cosmology_from_config  # noqa: F401

@@ -1,0 +1,158 @@
+"""SPH density / smoothing-length driver (reference sph.c:13-75).
+
+`find_sph_quantities` replaces the reference's sort -> serial octree ->
+per-particle tree walks with: Morton sort of the gas block (the analogue of
+Sort_Particles_By_Peano_Key, peano.c:46), equal-count block index +
+bounding-box candidate lists (ops/blocks.py), and the fixed-shape masked
+Newton/bisection hsml solve (ops/pair_ops.py).  The initial guess comes
+from the analytic model density instead of the tree-node density
+(tree.c:113-121) — same intent, better prior.
+
+Like the reference, the gas block is physically permuted into curve order;
+halo membership rides along in `parts.halo`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..ops import blocks as blk
+from ..ops import pair_ops
+from ..particles import HaloArrays, Particles, gas_density_device
+from ..scene import Scene
+
+_CAP_FACTOR = 1.4      # candidate radius margin over the model-based h0
+_MAX_REBUILDS = 5
+
+
+def global_density_model(pos_box, ha: HaloArrays, boxsize, cool_core=None):
+    """max over gas-bearing halos of the beta-model density at a box
+    position (wvt_relax.c:227-256)."""
+    boxhalf = boxsize / 2.0
+    rho = jnp.zeros(pos_box.shape[:-1], pos_box.dtype)
+    for j in range(ha.n_halos):
+        r = jnp.linalg.norm(pos_box - (ha.d_com[j] + boxhalf), axis=-1)
+        rho_j = gas_density_device(r, ha, j, cool_core)
+        rho_j = jnp.where(ha.mass_gas[j] > 0, rho_j, 0.0)
+        rho = jnp.maximum(rho, rho_j)
+    return rho
+
+
+def model_hsml(pos_box, ha, mpart, desnngb, boxsize, cool_core=None):
+    """h0 = (DESNNGB m / rho_model / (4pi/3))^(1/3) — the WVT metric form
+    (wvt_relax.c:115) reused as the density-solve warm start."""
+    rho = global_density_model(pos_box, ha, boxsize, cool_core)
+    return (desnngb * mpart / rho / const.FOURPITHIRD) ** (1.0 / 3.0)
+
+
+def permute_gas(parts: Particles, order) -> Particles:
+    """Physically reorder the gas block (the cycle-leader permutation of
+    peano.c:85-126, as a gather)."""
+    n_gas = parts.n_gas
+
+    def perm(arr):
+        return arr.at[:n_gas].set(arr[:n_gas][order])
+
+    return parts._replace(
+        pos=perm(parts.pos), vel=perm(parts.vel), pid=perm(parts.pid),
+        halo=perm(parts.halo), u=parts.u[order], rho=parts.rho[order],
+        hsml=parts.hsml[order], var_hsml_fac=parts.var_hsml_fac[order],
+        rho_model=parts.rho_model[order], bfld=parts.bfld[order],
+        apot=parts.apot[order])
+
+
+class NeighbourState(NamedTuple):
+    """Reusable block structure of the (already permuted) gas positions."""
+    index: blk.BlockIndex
+    cand: blk.CandidateList
+    h_cap: jnp.ndarray     # (P,) padded sorted layout
+    max_cand: int
+
+
+def _pad_sorted(x, order, n_padded, fill_last=True):
+    xs = x[order]
+    pad = n_padded - xs.shape[0]
+    if pad:
+        filler = jnp.broadcast_to(xs[-1:], (pad,) + xs.shape[1:])
+        xs = jnp.concatenate([xs, filler])
+    return xs
+
+
+def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=32,
+                     symmetric=False):
+    """Sort + block + candidate search; retries with larger candidate lists
+    on overflow (host-checked)."""
+    bi = blk.build_blocks(pos_gas, boxsize)
+    h_cap = _pad_sorted(h_cap_gas, bi.order, bi.n_padded)
+    radius = h_cap.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
+    while True:
+        cand = blk.find_candidates(bi, radius, boxsize, max_cand=max_cand,
+                                   symmetric=symmetric)
+        if int(cand.overflow) <= 0:
+            break
+        max_cand = int(max_cand * 2)
+        if max_cand > 4096:
+            raise RuntimeError("candidate list overflow beyond 4096")
+    return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
+                          max_cand=max_cand)
+
+
+def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
+                        *, return_state: bool = False):
+    """Density + adaptive hsml for all gas particles (sph.c:13-75).
+    Returns the gas-permuted Particles (and the NeighbourState for reuse by
+    the B-field curl when requested)."""
+    cfg = scene.config
+    n_gas = parts.n_gas
+    if n_gas == 0:
+        return (parts, None) if return_state else parts
+    cool_core = ((cfg.rho0_fac, cfg.rc_fac)
+                 if cfg.double_beta_cool_cores else None)
+    boxsize = scene.boxsize
+    mpart = scene.mpart_gas
+    desnngb = cfg.desnngb
+
+    pos_gas = parts.pos[:n_gas]
+    h0_model = model_hsml(pos_gas, ha, mpart, desnngb, boxsize, cool_core)
+    # warm start from the previous hsml when available (sph.c:23-26)
+    h_prev = parts.hsml[:n_gas]
+    h0 = jnp.where(h_prev > 0, h_prev, h0_model)
+
+    cap_factor = _CAP_FACTOR
+    for attempt in range(_MAX_REBUILDS):
+        h_cap_gas = jnp.maximum(h0, h0_model) * cap_factor
+        state = build_neighbours(pos_gas, h_cap_gas, boxsize)
+        bi = state.index
+        h0_sorted = _pad_sorted(h0, bi.order, bi.n_padded)
+        res = pair_ops.solve_density(
+            bi, state.cand, h0_sorted, state.h_cap, mpart, boxsize,
+            kernel=cfg.sph_kernel, desnngb=desnngb)
+        n_sat = int(res.saturated[:n_gas].sum())
+        if n_sat == 0:
+            break
+        # analogue of the reference's grow-and-research (sph.c:36-64)
+        inv = jnp.zeros_like(bi.order).at[bi.order].set(
+            jnp.arange(n_gas))
+        h0 = res.hsml[inv]
+        cap_factor *= 1.6
+    else:
+        raise RuntimeError(f"hsml solve saturated for {n_sat} particles "
+                           f"after {_MAX_REBUILDS} rebuilds")
+
+    parts = permute_gas(parts, bi.order)
+    parts = parts._replace(
+        rho=res.rho[:n_gas], hsml=res.hsml[:n_gas],
+        var_hsml_fac=res.var_hsml_fac[:n_gas])
+    if not return_state:
+        return parts
+    # after permute_gas the particle layout IS the sorted layout: re-key the
+    # index with the identity order so downstream consumers (sph_curl) can
+    # scatter results straight back
+    state = state._replace(index=bi._replace(
+        order=jnp.arange(n_gas, dtype=bi.order.dtype)))
+    return parts, state

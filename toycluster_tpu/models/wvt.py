@@ -1,0 +1,124 @@
+"""Weighted-Voronoi-Tessellation particle regularisation
+(reference wvt_relax.c:25-225, after Diehl+ 2012) — the benchmark hot loop.
+
+Each iteration: (1) SPH density + adaptive hsml over the rebuilt block
+structure, (2) relative error vs the analytic model density with the
+reference's data-dependent early-stop / step-shrink heuristics (host-side
+scalars), (3) a per-particle metric length from the model density globally
+renormalised to unit box volume, (4) a kernel-weighted repulsion step with
+periodic wrap.  Relaxation is done in units of the boxsize.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..ops import blocks as blk
+from ..ops import pair_ops
+from ..particles import HaloArrays, Particles
+from ..scene import Scene
+from ..utils.logging import stage_log
+from . import sph as sph_mod
+
+NUMITER = 64            # wvt_relax.c:7
+ERRDIFF_LIMIT = 0.01    # wvt_relax.c:8
+TREEBUILDFREQUENCY = 1  # wvt_relax.c:6
+
+
+@jax.jit
+def _error_stats(rho_sph, rho_model):
+    err = jnp.abs(rho_sph - rho_model) / rho_model
+    return err.max(), err.mean()
+
+
+def _metric_hsml(rho_model, mpart, desnngb):
+    """h_i = (NNGB m / rho / (4pi/3))^(1/3), renormalised so the total
+    kernel volume matches the unit box (wvt_relax.c:108-124)."""
+    h = (desnngb * mpart / rho_model / const.FOURPITHIRD) ** (1.0 / 3.0)
+    v_sum = (h ** 3).sum()
+    return h * (desnngb / v_sum / const.FOURPITHIRD) ** (1.0 / 3.0)
+
+
+@jax.jit
+def _move(pos_gas, delta_box, boxsize):
+    pos = pos_gas + delta_box * boxsize
+    return pos - jnp.floor(pos / boxsize) * boxsize
+
+
+def regularise_sph_particles(scene: Scene, ha: HaloArrays,
+                             parts: Particles, *, log=stage_log
+                             ) -> Particles:
+    cfg = scene.config
+    n_gas = parts.n_gas
+    if n_gas == 0:
+        return parts
+    boxsize = scene.boxsize
+    mpart = scene.mpart_gas
+    desnngb = cfg.desnngb
+    cool_core = ((cfg.rho0_fac, cfg.rc_fac)
+                 if cfg.double_beta_cool_cores else None)
+
+    # step size (wvt_relax.c:48-56)
+    if cfg.sph_kernel == "m4":
+        step = 0.035
+    else:
+        step = 0.0085
+        if scene.mtotal < 1e5:
+            step /= 2.0
+
+    err_last = math.inf
+    err_diff_last = math.inf
+    max_iter = min(cfg.wvt_max_iter, NUMITER)
+    err_limit = cfg.wvt_err_diff_limit
+
+    for it in range(max_iter + 1):
+        if it % TREEBUILDFREQUENCY == 0:
+            parts = sph_mod.find_sph_quantities(scene, ha, parts)
+
+        pos_gas = parts.pos[:n_gas]
+        rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
+                                                 cool_core)
+        err_max, err_mean = _error_stats(parts.rho, rho_model)
+        err_max = float(err_max)
+        err_mean = float(err_mean)
+        err_diff = (err_last - err_mean) / err_mean
+
+        log("wvt", it=it, err_max=round(err_max, 4),
+            err_mean=round(err_mean, 5), err_diff=round(err_diff, 5),
+            step=step)
+
+        # stopping rules (wvt_relax.c:94-101)
+        if err_diff < err_limit and it > 25:
+            break
+        if err_diff < 0 and err_diff_last < 0 and it > 10:
+            break
+        if err_diff < 0.01 and it > 1:
+            step *= 0.8
+        err_last = err_mean
+        err_diff_last = err_diff
+
+        parts = parts._replace(rho_model=rho_model)
+        h_box = _metric_hsml(rho_model, mpart, desnngb)
+
+        # displacement pass over symmetric candidates: pair range
+        # hbar_ij = (h_i+h_j)/2, superset of the reference's tree search
+        # at radius h_i (wvt_relax.c:135-160)
+        state = sph_mod.build_neighbours(pos_gas, h_box * boxsize, boxsize,
+                                         symmetric=True)
+        bi = state.index
+        h_sorted = sph_mod._pad_sorted(h_box, bi.order, bi.n_padded)
+        delta_sorted = pair_ops.wvt_displacement(
+            bi, state.cand, h_sorted, step, boxsize,
+            kernel=cfg.sph_kernel)
+        delta = jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(
+            delta_sorted[:n_gas])
+
+        new_pos = _move(pos_gas, delta, boxsize)
+        parts = parts._replace(
+            pos=parts.pos.at[:n_gas].set(new_pos))
+
+    return parts

@@ -1,0 +1,179 @@
+"""Block-sparse neighbour engine: equal-count particle blocks.
+
+The TPU-native replacement for the reference's octree walk (tree.c:25-111):
+
+1. sort particles along a Morton curve (ops/keys.py);
+2. partition the sorted order into fixed-size blocks of B particles —
+   equal-count blocks adapt their spatial extent to the local density,
+   exactly the property the adaptive smoothing lengths need (h scales with
+   interparticle spacing, so a block's neighbourhood is O(1) blocks);
+3. per block, an axis-aligned bounding box and a search radius;
+4. a two-level bounding-box sweep (superblocks of S blocks) produces, for
+   every receiver block, a fixed-size padded list of candidate source
+   blocks whose boxes intersect the receiver's search volume under the
+   periodic minimum-image metric.
+
+All pair interactions (SPH density, hsml solve, WVT displacement, curl)
+are then fixed-shape (B x M*B) masked computations per block — no pointer
+chasing, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 128        # particles per block (B)
+SUPER = 32         # blocks per superblock (S)
+
+
+class BlockIndex(NamedTuple):
+    order: jnp.ndarray       # (N,) permutation: sorted <- original
+    pos: jnp.ndarray         # (P, 3) sorted positions, padded to P = nb*B
+    valid: jnp.ndarray       # (P,) padding mask
+    bb_lo: jnp.ndarray       # (nb, 3) block bbox minima
+    bb_hi: jnp.ndarray       # (nb, 3)
+    sb_lo: jnp.ndarray       # (ns, 3) superblock bbox minima
+    sb_hi: jnp.ndarray       # (ns, 3)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.bb_lo.shape[0]
+
+    @property
+    def n_padded(self) -> int:
+        return self.pos.shape[0]
+
+
+def build_blocks(pos, boxsize, order=None) -> BlockIndex:
+    """Sort positions along the Morton curve and build block/superblock
+    bounding boxes.  Padding repeats the last particle (masked out of all
+    pair sums via `valid`)."""
+    from .keys import morton_order
+
+    n = pos.shape[0]
+    if order is None:
+        order = morton_order(pos, boxsize)
+    spos = pos[order]
+
+    nb = -(-n // BLOCK)
+    p = nb * BLOCK
+    pad = p - n
+    if pad:
+        spos = jnp.concatenate([spos, jnp.broadcast_to(spos[-1], (pad, 3))])
+    valid = jnp.arange(p) < n
+
+    blocks = spos.reshape(nb, BLOCK, 3)
+    bb_lo = blocks.min(axis=1)
+    bb_hi = blocks.max(axis=1)
+
+    ns = -(-nb // SUPER)
+    sp = ns * SUPER
+    pad_lo = jnp.concatenate(
+        [bb_lo, jnp.broadcast_to(bb_lo[-1], (sp - nb, 3))])
+    pad_hi = jnp.concatenate(
+        [bb_hi, jnp.broadcast_to(bb_hi[-1], (sp - nb, 3))])
+    sb_lo = pad_lo.reshape(ns, SUPER, 3).min(axis=1)
+    sb_hi = pad_hi.reshape(ns, SUPER, 3).max(axis=1)
+
+    return BlockIndex(order=order, pos=spos, valid=valid, bb_lo=bb_lo,
+                      bb_hi=bb_hi, sb_lo=sb_lo, sb_hi=sb_hi)
+
+
+def _interval_dist2(lo1, hi1, lo2, hi2, boxsize):
+    """Squared min-image distance between two AABBs on a 3-torus."""
+    c1 = 0.5 * (lo1 + hi1)
+    c2 = 0.5 * (lo2 + hi2)
+    w = 0.5 * (hi1 - lo1) + 0.5 * (hi2 - lo2)
+    d = c1 - c2
+    d = d - boxsize * jnp.round(d / boxsize)
+    gap = jnp.maximum(jnp.abs(d) - w, 0.0)
+    return jnp.sum(gap * gap, axis=-1)
+
+
+class CandidateList(NamedTuple):
+    idx: jnp.ndarray       # (nb, M) candidate block ids, -1 padded
+    count: jnp.ndarray     # (nb,) true candidate counts
+    overflow: jnp.ndarray  # () max(count) - M, positive means truncation
+
+
+_CAND_CHUNK = 512  # receiver blocks per chunk to bound temporaries
+
+
+@partial(jax.jit, static_argnames=("max_cand", "max_super", "symmetric"))
+def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
+                    max_super: int = 64, symmetric: bool = False
+                    ) -> CandidateList:
+    """Per receiver block, the blocks whose bbox lies within its search
+    radius (min-image).  `radius` is (nb,) per-block; with
+    `symmetric=True` the pair range is (radius_i + radius_j)/2 (the WVT
+    displacement semantics, wvt_relax.c:158), otherwise radius_i (gather).
+
+    Two-level sweep: superblock boxes first (O(nb*ns) tests), then the
+    blocks of the hit superblocks, chunked over receiver blocks to keep
+    temporaries bounded.  Returns fixed-shape padded candidate lists and an
+    overflow indicator — callers must check `overflow <= 0` (host-side) and
+    re-run with a larger `max_cand` if positive.
+    """
+    nb = bi.n_blocks
+    ns = bi.sb_lo.shape[0]
+
+    # superblock radius: conservative per-superblock max of block radii
+    pad = jnp.full((ns * SUPER - nb,), 0.0, radius.dtype)
+    rad_blocks = jnp.concatenate([radius, pad])
+    sb_rad = rad_blocks.reshape(ns, SUPER).max(axis=1)
+
+    nchunk = -(-nb // _CAND_CHUNK)
+    pad_blocks = nchunk * _CAND_CHUNK - nb
+    lo_pad = jnp.concatenate(
+        [bi.bb_lo, jnp.broadcast_to(bi.bb_lo[-1], (pad_blocks, 3))])
+    hi_pad = jnp.concatenate(
+        [bi.bb_hi, jnp.broadcast_to(bi.bb_hi[-1], (pad_blocks, 3))])
+    rad_pad = jnp.concatenate([radius, jnp.zeros((pad_blocks,),
+                                                 radius.dtype)])
+
+    def chunk_fn(args):
+        lo_i, hi_i, rad_i = args   # (C,3),(C,3),(C,)
+        # level 1: chunk x superblocks
+        d2 = _interval_dist2(lo_i[:, None, :], hi_i[:, None, :],
+                             bi.sb_lo[None, :, :], bi.sb_hi[None, :, :],
+                             boxsize)                    # (C, ns)
+        rng = (0.5 * (rad_i[:, None] + sb_rad[None, :]) if symmetric
+               else rad_i[:, None])
+        hit = d2 <= rng * rng
+        sb_ids = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32),
+                                  hit.shape)
+        ms = min(max_super, ns)
+        sb_cand = jnp.sort(jnp.where(hit, sb_ids, ns), axis=1)[:, :ms]
+        sb_over = hit.sum(axis=1).max() - ms
+
+        # level 2: blocks of the hit superblocks
+        cand = (sb_cand[:, :, None] * SUPER
+                + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
+                ).reshape(lo_i.shape[0], ms * SUPER)
+        ok_sb = cand < ns * SUPER
+        cc = jnp.minimum(cand, nb - 1)
+        d2b = _interval_dist2(lo_i[:, None, :], hi_i[:, None, :],
+                              bi.bb_lo[cc], bi.bb_hi[cc], boxsize)
+        rngb = (0.5 * (rad_i[:, None] + rad_blocks[cc]) if symmetric
+                else rad_i[:, None])
+        hitb = (d2b <= rngb * rngb) & ok_sb & (cand < nb)
+        idx = jnp.sort(jnp.where(hitb, cand, nb), axis=1)[:, :max_cand]
+        if idx.shape[1] < max_cand:  # tiny problems: fewer blocks than M
+            idx = jnp.pad(idx, ((0, 0), (0, max_cand - idx.shape[1])),
+                          constant_values=nb)
+        count = hitb.sum(axis=1)
+        return (jnp.where(idx >= nb, -1, idx).astype(jnp.int32),
+                count, jnp.maximum(count.max() - max_cand, sb_over))
+
+    idx, count, over = jax.lax.map(
+        chunk_fn, (lo_pad.reshape(nchunk, _CAND_CHUNK, 3),
+                   hi_pad.reshape(nchunk, _CAND_CHUNK, 3),
+                   rad_pad.reshape(nchunk, _CAND_CHUNK)))
+    return CandidateList(idx=idx.reshape(-1, max_cand)[:nb],
+                         count=count.reshape(-1)[:nb],
+                         overflow=over.max())

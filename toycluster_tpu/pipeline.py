@@ -46,10 +46,11 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
     if not scene.dm_only:
         from .models import wvt, sph, bfield, temperature
         parts = wvt.regularise_sph_particles(scene, ha, parts, log=log)
-        parts = sph.find_sph_quantities(scene, ha, parts)
+        parts, nstate = sph.find_sph_quantities(scene, ha, parts,
+                                                return_state=True)
         log("sph_quantities")
         if cfg.bfld_norm:
-            parts = bfield.make_magnetic_field(scene, ha, parts)
+            parts = bfield.make_magnetic_field(scene, ha, parts, nstate)
             log("magnetic_field")
         cool_core = ((cfg.rho0_fac, cfg.rc_fac)
                      if cfg.double_beta_cool_cores else None)
