@@ -83,10 +83,18 @@ def _pad_sorted(x, order, n_padded, fill_last=True):
     return xs
 
 
-def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=32,
+# last successful candidate-list width per mode: reusing it across calls
+# keeps the jit shapes stable (avoids recompile flip-flop in the WVT loop)
+_LAST_MAX_CAND: dict = {}
+
+
+def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
                      symmetric=False):
     """Sort + block + candidate search; retries with larger candidate lists
     on overflow (host-checked)."""
+    key = ("sym" if symmetric else "gather",)
+    if max_cand is None:
+        max_cand = _LAST_MAX_CAND.get(key, 32)
     bi = blk.build_blocks(pos_gas, boxsize)
     h_cap = _pad_sorted(h_cap_gas, bi.order, bi.n_padded)
     radius = h_cap.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
@@ -98,6 +106,7 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=32,
         max_cand = int(max_cand * 2)
         if max_cand > 4096:
             raise RuntimeError("candidate list overflow beyond 4096")
+    _LAST_MAX_CAND[key] = max_cand
     return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
                           max_cand=max_cand)
 

@@ -161,6 +161,36 @@ def _wc2(r, h):
     return 21.0 / 2.0 / const.PI / h**3 * t**4 * (1.0 + 4.0 * u)
 
 
+def slow_substructure_bulk_velocities(scene: Scene, host_df, rng) -> list:
+    """SLOW_SUBSTRUCTURE: each subhalo orbits like a test particle of the
+    host's f(E) (velocities.c:500-565); returns the per-halo bulk-velocity
+    list with subhalo entries replaced."""
+    import numpy as np
+    bulks = [np.asarray(h.bulk_vel, np.float64) for h in scene.halos]
+    host = scene.halos[scene.config.sub_host]
+    for i in range(scene.sub_first, scene.nhalos):
+        h = scene.halos[i]
+        d = np.asarray(h.d_com) - np.asarray(host.d_com)
+        r = float(np.linalg.norm(d))
+        psi = float(host_df.psi(max(r, RMIN)))
+        vmax = (2 * psi) ** 0.5
+        qmax = 4 * const.PI * vmax**2 / h.mtotal * float(host_df(psi))
+        v = 0.0
+        for _ in range(90_000):
+            lower = qmax * rng.random()
+            v = vmax * rng.random()
+            e_tot = 0.5 * v * v - psi
+            q = 4 * const.PI * v**2 / h.mtotal * float(host_df(-e_tot))
+            if q >= lower:
+                break
+        v *= scene.config.zero_e_orbit_frac
+        ct = 2 * rng.random() - 1
+        ph = 2 * const.PI * rng.random()
+        st = (max(0.0, 1 - ct * ct)) ** 0.5
+        bulks[i] = v * np.array([st * np.cos(ph), st * np.sin(ph), ct])
+    return bulks
+
+
 def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
                     ) -> Particles:
     """Assign DM peculiar velocities per halo, then add bulk velocities
@@ -169,6 +199,9 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
     boxhalf = scene.boxhalf
     vel = parts.vel
     n_gas = scene.npart_gas
+    cfg = scene.config
+
+    bulk_vel = [jnp.asarray(h.bulk_vel, jnp.float32) for h in scene.halos]
 
     # DM blocks are contiguous per halo after the gas block
     dm_offsets = []
@@ -181,19 +214,32 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
         if h.npart_dm == 0:
             continue
         vt = build_velocity_tables(scene, i)
+        if (i == 0 and cfg.substructure and cfg.slow_substructure
+                and scene.nhalos > scene.sub_first):
+            import numpy as np
+            from .eddington import build_distribution_function
+            host_df = build_distribution_function(
+                mass_dm=scene.halos[0].mass_dm,
+                a_hernq=scene.halos[0].a_hernq, G=scene.units.G,
+                mass_table=scene.halos[0].mass_table,
+                r_sample_gas=scene.halos[0].r_sample_gas,
+                has_gas=scene.halos[0].npart_gas > 0)
+            bulks = slow_substructure_bulk_velocities(
+                scene, host_df, np.random.default_rng(cfg.seed + 99))
+            bulk_vel = [jnp.asarray(b, jnp.float32) for b in bulks]
         sl = slice(dm_offsets[i], dm_offsets[i] + h.npart_dm)
         d = parts.pos[sl] - (ha.d_com[i] + boxhalf)
         r = jnp.linalg.norm(d, axis=-1)
         ki = jax.random.fold_in(key, 1000 + i)
         v = sample_speeds(ki, vt, r)
         dirs = _sphere_dirs(jax.random.fold_in(ki, 1), h.npart_dm)
-        bulk = jnp.asarray(h.bulk_vel, jnp.float32)
-        vel = vel.at[sl].set(v[:, None] * dirs + bulk)
+        vel = vel.at[sl].set(v[:, None] * dirs + bulk_vel[i])
 
     # gas bulk velocities (velocities.c:119-151)
     if n_gas:
         gas_halo = parts.halo[:n_gas]
-        bulk = ha.bulk_vel[gas_halo]
+        bulk_stack = jnp.stack(bulk_vel)
+        bulk = bulk_stack[gas_halo]
         wk = jnp.ones((n_gas,), jnp.float32)
         for i in range(scene.sub_first, scene.nhalos):
             hsub = scene.halos[i]

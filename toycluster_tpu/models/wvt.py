@@ -50,8 +50,16 @@ def _move(pos_gas, delta_box, boxsize):
 
 
 def regularise_sph_particles(scene: Scene, ha: HaloArrays,
-                             parts: Particles, *, log=stage_log
-                             ) -> Particles:
+                             parts: Particles, *, log=stage_log,
+                             checkpoint_path: str | None = None,
+                             checkpoint_every: int = 16) -> Particles:
+    """`checkpoint_path` enables WVT checkpoint/resume (absent in the
+    reference — SURVEY.md §5): loop state (gas positions, step, error
+    history, iteration) is saved as NPZ every `checkpoint_every`
+    iterations and restored on restart."""
+    import numpy as _np
+    import os as _os
+
     cfg = scene.config
     n_gas = parts.n_gas
     if n_gas == 0:
@@ -74,8 +82,19 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     err_diff_last = math.inf
     max_iter = min(cfg.wvt_max_iter, NUMITER)
     err_limit = cfg.wvt_err_diff_limit
+    it0 = 0
 
-    for it in range(max_iter + 1):
+    if checkpoint_path and _os.path.exists(checkpoint_path):
+        ck = _np.load(checkpoint_path)
+        parts = parts._replace(
+            pos=parts.pos.at[:n_gas].set(jnp.asarray(ck["pos_gas"])))
+        step = float(ck["step"])
+        err_last = float(ck["err_last"])
+        err_diff_last = float(ck["err_diff_last"])
+        it0 = int(ck["it"]) + 1
+        log("wvt_resume", it=it0, step=step)
+
+    for it in range(it0, max_iter + 1):
         if it % TREEBUILDFREQUENCY == 0:
             parts = sph_mod.find_sph_quantities(scene, ha, parts)
 
@@ -120,5 +139,11 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         new_pos = _move(pos_gas, delta, boxsize)
         parts = parts._replace(
             pos=parts.pos.at[:n_gas].set(new_pos))
+
+        if checkpoint_path and (it + 1) % checkpoint_every == 0:
+            with open(checkpoint_path, "wb") as fh:
+                _np.savez(fh, pos_gas=_np.asarray(new_pos), step=step,
+                          err_last=err_last, err_diff_last=err_diff_last,
+                          it=it)
 
     return parts

@@ -22,7 +22,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from .. import constants as const
 from ..ops.kernels import wc6_flat
@@ -46,8 +50,7 @@ def sharded_wvt_step(mesh: Mesh, *, desnngb: int, mpart: float,
 
     def make(rho_model_fn):
         @partial(shard_map, mesh=mesh, in_specs=(P("parts"),),
-                 out_specs=(P("parts"), P(), P()),
-                 check_vma=False)
+                 out_specs=(P("parts"), P(), P()), check_rep=False)
         def wvt_step(pos_local):
             n_local = pos_local.shape[0]
             pos_all = jax.lax.all_gather(pos_local, "parts",

@@ -31,6 +31,12 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
     scene = build_scene(cfg)
     log("setup", scene=scene)
 
+    if cfg.substructure:
+        from .models.substructure import setup_substructure
+        scene = setup_substructure(scene, seed=cfg.seed + 7)
+        log("substructure", nhalos=scene.nhalos,
+            nsub=scene.nhalos - scene.sub_first)
+
     ha = halo_arrays_from_scene(scene)
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
 
