@@ -50,7 +50,7 @@ def sharded_wvt_step(mesh: Mesh, *, desnngb: int, mpart: float,
 
     def make(rho_model_fn):
         @partial(shard_map, mesh=mesh, in_specs=(P("parts"),),
-                 out_specs=(P("parts"), P(), P()), check_rep=False)
+                 out_specs=(P("parts"), P(), P()))
         def wvt_step(pos_local):
             n_local = pos_local.shape[0]
             pos_all = jax.lax.all_gather(pos_local, "parts",
