@@ -50,14 +50,14 @@ class BlockIndex(NamedTuple):
 
 
 def build_blocks(pos, boxsize, order=None) -> BlockIndex:
-    """Sort positions along the Morton curve and build block/superblock
+    """Sort positions along the Hilbert curve and build block/superblock
     bounding boxes.  Padding repeats the last particle (masked out of all
     pair sums via `valid`)."""
-    from .keys import morton_order
+    from .keys import hilbert_order
 
     n = pos.shape[0]
     if order is None:
-        order = morton_order(pos, boxsize)
+        order = hilbert_order(pos, boxsize)
     spos = pos[order]
 
     nb = -(-n // BLOCK)
