@@ -16,7 +16,8 @@ def result(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("ics") / "ic_full")
     cfg = parse_par_file("/root/reference/cluster.par").replace(
         ntotal=6000, wvt_max_iter=6, output_file=out)
-    scene, parts = make_ics(cfg, log=silent_log)
+    # check=True audits the neighbour engine against direct summation
+    scene, parts = make_ics(cfg, log=silent_log, check=True)
     return scene, parts, read_snapshot(out)
 
 

@@ -134,14 +134,21 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
 
     cap_factor = _CAP_FACTOR
     for attempt in range(_MAX_REBUILDS):
-        h_cap_gas = jnp.maximum(h0, h0_model) * cap_factor
+        # global escape hatch: candidate radii beyond ~boxsize/3 would make
+        # every block a candidate of every other; particles this extreme
+        # accept their capped h (the reference's NGBMAX cap plays the same
+        # role, globals.h:50)
+        h_cap_gas = jnp.minimum(jnp.maximum(h0, h0_model) * cap_factor,
+                                boxsize / 3.0)
         state = build_neighbours(pos_gas, h_cap_gas, boxsize)
         bi = state.index
         h0_sorted = _pad_sorted(h0, bi.order, bi.n_padded)
         res = pair_ops.solve_density(
             bi, state.cand, h0_sorted, state.h_cap, mpart, boxsize,
             kernel=cfg.sph_kernel, desnngb=desnngb)
-        n_sat = int(res.saturated[:n_gas].sum())
+        # particles whose cap hit the global clamp keep their capped h
+        still_growable = state.h_cap < (boxsize / 3.0) * 0.999
+        n_sat = int((res.saturated & still_growable)[:n_gas].sum())
         if n_sat == 0:
             break
         # analogue of the reference's grow-and-research (sph.c:36-64)

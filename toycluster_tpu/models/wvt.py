@@ -123,11 +123,11 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         parts = parts._replace(rho_model=rho_model)
         h_box = _metric_hsml(rho_model, mpart, desnngb)
 
-        # displacement pass over symmetric candidates: pair range
-        # hbar_ij = (h_i+h_j)/2, superset of the reference's tree search
-        # at radius h_i (wvt_relax.c:135-160)
-        state = sph_mod.build_neighbours(pos_gas, h_box * boxsize, boxsize,
-                                         symmetric=True)
+        # displacement pass with gather candidates at radius h_i — exactly
+        # the reference's tree-search radius (wvt_relax.c:135); pairs with
+        # h_i < r < hbar_ij are dropped on both sides of the parity line
+        # (their WC6 weight is (1-u)^8-suppressed)
+        state = sph_mod.build_neighbours(pos_gas, h_box * boxsize, boxsize)
         bi = state.index
         h_sorted = sph_mod._pad_sorted(h_box, bi.order, bi.n_padded)
         delta_sorted = pair_ops.wvt_displacement(

@@ -64,6 +64,27 @@ def brute_density(pos, hsml0, mpart, boxsize, *, kernel="wc6",
     return rho, h, var_fac, wk_ngb, done
 
 
+def density_at(pos_q, h_q, pos_src, mpart, boxsize, *, kernel="wc6",
+               desnngb=295, chunk=65536):
+    """Direct-summation SPH density at given (positions, smoothing lengths)
+    against all sources — the production `--check` auditor (the analogue of
+    swapping Find_ngb_simple for the tree, wvt_relax.c:134)."""
+    w_fn, _, _ = kernel_fns(kernel)
+    nq = pos_q.shape[0]
+    rho = jnp.zeros((nq,), jnp.float32)
+    n_src = pos_src.shape[0]
+    for start in range(0, n_src, chunk):
+        src = pos_src[start:start + chunk]
+        d = pos_q[:, None, :] - src[None, :, :]
+        d = d - boxsize * jnp.round(d / boxsize)
+        r = jnp.sqrt((d * d).sum(-1))
+        rho = rho + mpart * w_fn(r, h_q[:, None]).sum(-1)
+    if kernel == "wc6":
+        rho = rho + (-0.0116 * (desnngb * 0.01) ** (-2.236) * mpart
+                     * w_fn(jnp.zeros_like(h_q), h_q))
+    return rho
+
+
 def brute_wvt_displacement(pos, hsml_box, step, boxsize, *, kernel="wc6"):
     _, _, wflat = kernel_fns(kernel)
     d = _pair_diffs(pos, boxsize) / boxsize

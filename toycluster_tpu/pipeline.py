@@ -25,8 +25,17 @@ from .utils.logging import stage_log
 
 
 def make_ics(cfg: Config, *, seed: Optional[int] = None,
-             write: bool = True, log=stage_log):
-    """Run the full pipeline; returns (scene, particles)."""
+             write: bool = True, log=stage_log,
+             check: bool = False, profile_dir: Optional[str] = None,
+             wvt_checkpoint: Optional[str] = None):
+    """Run the full pipeline; returns (scene, particles).
+
+    check: audit the neighbour engine by comparing a random subsample of
+      the solved SPH densities against direct summation (SURVEY.md §5
+      "--check mode").
+    profile_dir: capture a jax.profiler trace of the WVT hot loop.
+    wvt_checkpoint: NPZ path for WVT checkpoint/resume.
+    """
     t0 = time.perf_counter()
     scene = build_scene(cfg)
     log("setup", scene=scene)
@@ -51,10 +60,17 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
 
     if not scene.dm_only:
         from .models import wvt, sph, bfield, temperature
-        parts = wvt.regularise_sph_particles(scene, ha, parts, log=log)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        parts = wvt.regularise_sph_particles(
+            scene, ha, parts, log=log, checkpoint_path=wvt_checkpoint)
+        if profile_dir:
+            jax.profiler.stop_trace()
         parts, nstate = sph.find_sph_quantities(scene, ha, parts,
                                                 return_state=True)
         log("sph_quantities")
+        if check:
+            _check_density(scene, parts, log)
         if cfg.bfld_norm:
             parts = bfield.make_magnetic_field(scene, ha, parts, nstate)
             log("magnetic_field")
@@ -80,3 +96,22 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
             dt=time.perf_counter() - t0)
 
     return scene, parts
+
+
+def _check_density(scene, parts, log, n_sample=512):
+    """Audit the block-sparse engine against direct summation on a random
+    subsample; raises on disagreement beyond float32 pair-sum tolerance."""
+    from .ops.brute import density_at
+    n_gas = parts.n_gas
+    idx = np.linspace(0, n_gas - 1, min(n_sample, n_gas)).astype(int)
+    rho_direct = density_at(parts.pos[idx], parts.hsml[idx],
+                            parts.pos[:n_gas], scene.mpart_gas,
+                            scene.boxsize,
+                            kernel=scene.config.sph_kernel,
+                            desnngb=scene.config.desnngb)
+    rel = jnp.abs(rho_direct - parts.rho[idx]) / parts.rho[idx]
+    worst = float(rel.max())
+    log("check_density", n=len(idx), worst_rel_err=round(worst, 6))
+    if worst > 5e-3:
+        raise RuntimeError(
+            f"density check failed: worst rel err {worst:.2e}")
