@@ -59,7 +59,8 @@ def solved(cloud):
         radius = h_cap.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
         cand = blk.find_candidates(bi, radius, BOX, max_cand=64)
         assert int(cand.overflow) <= 0
-        res = pair_ops.solve_density(bi, cand, h0s, h_cap, 1.0, BOX,
+        sel = pair_ops.full_selection(bi, cand.idx)
+        res = pair_ops.solve_density(bi, sel, h0s, h_cap, 1.0, BOX,
                                      kernel="wc6", desnngb=DESNNGB)
         if int(res.saturated[:N].sum()) == 0:
             break
@@ -117,8 +118,8 @@ def test_displacement_matches_brute_force(cloud, solved):
     cand_s = blk.find_candidates(bi, radius, BOX, max_cand=64,
                                  symmetric=True)
     assert int(cand_s.overflow) <= 0
-    d_blk_sorted = pair_ops.wvt_displacement(bi, cand_s, h_sorted, 0.01,
-                                             BOX)
+    d_blk_sorted = pair_ops.wvt_displacement(
+        bi, pair_ops.full_selection(bi, cand_s.idx), h_sorted, 0.01, BOX)
     d_blk = np.zeros((N, 3), np.float32)
     d_blk[np.asarray(bi.order)] = np.asarray(d_blk_sorted[:N])
     np.testing.assert_allclose(d_blk, np.asarray(d_brute), rtol=1e-3,
@@ -135,8 +136,9 @@ def test_curl_matches_brute_force(cloud, solved):
     apot_sorted = jnp.concatenate(
         [apot_orig[bi.order],
          jnp.zeros((bi.n_padded - n, 3), jnp.float32)])
-    b_sorted = pair_ops.sph_curl(bi, cand, res.hsml, res.rho,
-                                 res.var_hsml_fac, apot_sorted, 1.0, BOX)
+    b_sorted = pair_ops.sph_curl(bi, pair_ops.full_selection(bi, cand.idx),
+                                 res.hsml, res.rho, res.var_hsml_fac,
+                                 apot_sorted, 1.0, BOX)
     b_blk = np.zeros((n, 3), np.float32)
     b_blk[inv] = np.asarray(b_sorted[:n])
 

@@ -82,10 +82,16 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
         return jnp.concatenate([x, jnp.broadcast_to(x[-1:], (p,)
                                                     + x.shape[1:])])
 
-    bfld_sorted = pair_ops.sph_curl(
-        bi, state.cand, pad1(parts.hsml), pad1(parts.rho),
-        pad1(parts.var_hsml_fac), pad1(parts.apot), scene.mpart_gas,
-        scene.boxsize, kernel=scene.config.sph_kernel)
+    h_s, rho_s, vf_s = (pad1(parts.hsml), pad1(parts.rho),
+                        pad1(parts.var_hsml_fac))
+    apot_s = pad1(parts.apot)
+
+    def curl_class(sel, m):
+        return (pair_ops.sph_curl(
+            bi, sel, h_s, rho_s, vf_s, apot_s, scene.mpart_gas,
+            scene.boxsize, kernel=scene.config.sph_kernel),)
+
+    (bfld_sorted,) = sph_mod.run_classed(state, curl_class)
     # map back through the (near-identity) sort of this build
     bfld = jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(
         bfld_sorted[:n_gas])

@@ -94,7 +94,7 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
     on overflow (host-checked)."""
     key = ("sym" if symmetric else "gather",)
     if max_cand is None:
-        max_cand = _LAST_MAX_CAND.get(key, 32)
+        max_cand = _LAST_MAX_CAND.get(key, 128)
     bi = blk.build_blocks(pos_gas, boxsize)
     h_cap = _pad_sorted(h_cap_gas, bi.order, bi.n_padded)
     radius = h_cap.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
@@ -109,6 +109,64 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
     _LAST_MAX_CAND[key] = max_cand
     return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
                           max_cand=max_cand)
+
+
+# -------------------------------------------------------------------------
+# count-classed execution: the candidate-count distribution is heavily
+# skewed (central blocks ~30 candidates, outskirt blocks ~1000+), so
+# running every block at the global max width would waste ~10x memory and
+# flops.  Blocks are bucketed by count and each bucket runs at its own
+# static width.
+# -------------------------------------------------------------------------
+
+_CLASS_EDGES = (32, 128, 512, 2048, 4096)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+def classed_selections(state: NeighbourState):
+    """Host-side bucketing of receiver blocks by candidate count; each
+    bucket is padded (ids = -1) to a power of two for shape stability."""
+    counts = np.asarray(state.cand.count)
+    sels = []
+    lo = 0
+    for edge in _CLASS_EDGES:
+        m = min(edge, state.max_cand)
+        if m <= lo:
+            break
+        ids = np.where((counts > lo) & (counts <= m))[0].astype(np.int32)
+        lo = m
+        if len(ids):
+            padded = np.full(_next_pow2(len(ids)), -1, np.int32)
+            padded[: len(ids)] = ids
+            sels.append((m, padded))
+        if m >= state.max_cand:
+            break
+    return sels
+
+
+def run_classed(state: NeighbourState, fn):
+    """Run `fn(sel, m) -> tuple of (S*BLOCK, ...) arrays` per count class
+    and scatter the results into (P, ...) sorted-layout arrays."""
+    bi = state.index
+    p = bi.n_padded
+    outs = None
+    for m, ids_np in classed_selections(state):
+        ids = jnp.asarray(ids_np)
+        rows = state.cand.idx[jnp.maximum(ids, 0)][:, :m]
+        rows = jnp.where((ids >= 0)[:, None], rows, -1)
+        sel = pair_ops.BlockSelection(ids=ids, cand=rows)
+        res = fn(sel, m)
+        if outs is None:
+            outs = [jnp.zeros((p,) + r.shape[1:], r.dtype) for r in res]
+        pidx = (jnp.maximum(ids, 0)[:, None] * blk.BLOCK
+                + jnp.arange(blk.BLOCK, dtype=jnp.int32)).reshape(-1)
+        pidx = jnp.where(jnp.repeat(ids >= 0, blk.BLOCK), pidx, p)
+        for k, r in enumerate(res):
+            outs[k] = outs[k].at[pidx].set(r, mode="drop")
+    return outs
 
 
 def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
@@ -143,9 +201,13 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
         state = build_neighbours(pos_gas, h_cap_gas, boxsize)
         bi = state.index
         h0_sorted = _pad_sorted(h0, bi.order, bi.n_padded)
-        res = pair_ops.solve_density(
-            bi, state.cand, h0_sorted, state.h_cap, mpart, boxsize,
-            kernel=cfg.sph_kernel, desnngb=desnngb)
+
+        def density_class(sel, m):
+            return pair_ops.solve_density(
+                bi, sel, h0_sorted, state.h_cap, mpart, boxsize,
+                kernel=cfg.sph_kernel, desnngb=desnngb)
+
+        res = pair_ops.DensityResult(*run_classed(state, density_class))
         # particles whose cap hit the global clamp keep their capped h
         still_growable = state.h_cap < (boxsize / 3.0) * 0.999
         n_sat = int((res.saturated & still_growable)[:n_gas].sum())

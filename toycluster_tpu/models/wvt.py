@@ -130,9 +130,12 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         state = sph_mod.build_neighbours(pos_gas, h_box * boxsize, boxsize)
         bi = state.index
         h_sorted = sph_mod._pad_sorted(h_box, bi.order, bi.n_padded)
-        delta_sorted = pair_ops.wvt_displacement(
-            bi, state.cand, h_sorted, step, boxsize,
-            kernel=cfg.sph_kernel)
+
+        def disp_class(sel, m):
+            return (pair_ops.wvt_displacement(
+                bi, sel, h_sorted, step, boxsize, kernel=cfg.sph_kernel),)
+
+        (delta_sorted,) = sph_mod.run_classed(state, disp_class)
         delta = jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(
             delta_sorted[:n_gas])
 

@@ -46,11 +46,13 @@ def morton_order(pos, boxsize):
 
 
 def _axes_to_transpose(x, y, z, bits):
-    """Skilling 2004 AxestoTranspose, vectorised branch-free over lanes."""
+    """Skilling 2004 AxestoTranspose, vectorised branch-free over lanes.
+    Bit-plane loops are static Python loops (trace-friendly)."""
     X = [x, y, z]
-    Q = jnp.uint32(1 << (bits - 1))
-    while int(Q) > 1:
-        P = (Q - 1).astype(jnp.uint32)
+    q = 1 << (bits - 1)
+    while q > 1:
+        Q = jnp.uint32(q)
+        P = jnp.uint32(q - 1)
         for i in range(3):
             cond = (X[i] & Q) != 0
             # invert X[0] where bit set; else exchange low bits X[0]<->X[i]
@@ -61,15 +63,16 @@ def _axes_to_transpose(x, y, z, bits):
             X[0] = jnp.where(cond, X0_inv, X0_exc)
             if i != 0:
                 X[i] = jnp.where(cond, X[i], Xi_exc)
-        Q = jnp.uint32(int(Q) >> 1)
+        q >>= 1
     # Gray encode
     X[1] = X[1] ^ X[0]
     X[2] = X[2] ^ X[1]
     t = jnp.zeros_like(X[0])
-    Q = jnp.uint32(1 << (bits - 1))
-    while int(Q) > 1:
-        t = jnp.where((X[2] & Q) != 0, t ^ (Q - 1).astype(jnp.uint32), t)
-        Q = jnp.uint32(int(Q) >> 1)
+    q = 1 << (bits - 1)
+    while q > 1:
+        t = jnp.where((X[2] & jnp.uint32(q)) != 0,
+                      t ^ jnp.uint32(q - 1), t)
+        q >>= 1
     return [xi ^ t for xi in X]
 
 

@@ -1,10 +1,15 @@
 """Fixed-shape pair operators over the block-sparse neighbour structure.
 
-Each operator processes receiver blocks in chunks: gather the candidate
-blocks' particles ((G, M*B) source lanes per chunk), build the masked
-periodic pairwise-distance matrix, and accumulate.  This is the XLA
-reference path; ops/pallas_pair.py provides the fused TPU kernels for the
-same contracts.
+Each operator processes a *selection* of receiver blocks (ops/blocks.py
+candidate lists are heavily skewed — central blocks see ~30 candidates,
+tapered outskirt blocks a thousand — so the driver buckets blocks by
+candidate count and invokes each operator once per count class with that
+class's static width M; see models/sph.py).  Per chunk of G receiver
+blocks: gather the candidate blocks' particles ((G, M*B) source lanes),
+build the masked periodic pairwise-distance matrix, and accumulate.
+
+This is the XLA path; ops/pallas_pair.py provides fused TPU kernels for
+the same contracts.
 
 Operators (reference counterparts):
 * solve_density — SPH density + adaptive hsml Newton/bisection solve with
@@ -23,48 +28,61 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as const
-from .blocks import BLOCK, BlockIndex, CandidateList
+from .blocks import BLOCK, BlockIndex
 from .kernels import kernel_fns
 
 _G = 4  # receiver blocks per map step
 
 
-def _pad_chunks(arr, nb, fill=None):
-    """Pad leading dim from nb to a multiple of _G and reshape to chunks."""
-    nchunk = -(-nb // _G)
-    pad = nchunk * _G - nb
-    if pad:
-        filler = (jnp.broadcast_to(arr[-1:], (pad,) + arr.shape[1:])
-                  if fill is None else
-                  jnp.full((pad,) + arr.shape[1:], fill, arr.dtype))
-        arr = jnp.concatenate([arr, filler])
-    return arr.reshape((nchunk, _G) + arr.shape[1:])
+class BlockSelection(NamedTuple):
+    """A subset of receiver blocks plus their candidate lists.
+
+    ids:  (S,) int32 receiver block ids, -1 padded
+    cand: (S, M) int32 candidate block ids, -1 padded
+    """
+    ids: jnp.ndarray
+    cand: jnp.ndarray
 
 
-def _gather_pairs(bi: BlockIndex):
-    """For one chunk: (G,B,3) receiver coords, (G,M*B,3) source coords,
-    (G,M*B) source-valid mask, (G,M*B) source indices into sorted order."""
-    def fn(chunk_block_ids, chunk_cand):
-        pos_b = bi.pos.reshape(-1, BLOCK, 3)
-        valid_b = bi.valid.reshape(-1, BLOCK)
-        xi = pos_b[chunk_block_ids]                      # (G,B,3)
-        cc = jnp.maximum(chunk_cand, 0)                  # (G,M)
-        xj = pos_b[cc].reshape(_G, -1, 3)                # (G,M*B,3)
-        vj = (valid_b[cc] & (chunk_cand >= 0)[:, :, None]
-              ).reshape(_G, -1)                          # (G,M*B)
-        src = (cc[:, :, None] * BLOCK
-               + jnp.arange(BLOCK, dtype=jnp.int32)).reshape(_G, -1)
-        return xi, xj, vj, src
-    return fn
+def full_selection(bi: BlockIndex, cand_idx) -> BlockSelection:
+    nb = bi.n_blocks
+    return BlockSelection(ids=jnp.arange(nb, dtype=jnp.int32),
+                          cand=cand_idx)
+
+
+def _chunked(sel: BlockSelection):
+    """Pad the selection to a multiple of _G and reshape to chunks."""
+    s = sel.ids.shape[0]
+    nchunk = -(-s // _G)
+    pad = nchunk * _G - s
+    ids = jnp.concatenate([sel.ids, jnp.full((pad,), -1, jnp.int32)])
+    cand = jnp.concatenate(
+        [sel.cand, jnp.full((pad, sel.cand.shape[1]), -1, jnp.int32)])
+    return (ids.reshape(nchunk, _G),
+            cand.reshape(nchunk, _G, sel.cand.shape[1]))
 
 
 def _min_image(d, boxsize):
     return d - boxsize * jnp.round(d / boxsize)
 
 
-def _r2_matrix(xi, xj, boxsize):
-    """(G,B,M*B) squared min-image distances, built per-dimension to keep
-    the (G,B,M*B,3) intermediate out of memory (XLA fuses)."""
+def _gather(bi: BlockIndex, ids, cidx):
+    """(G,B,3) receiver coords, (G,M*B,3) sources, (G,M*B) source mask,
+    (G,M*B) source indices, (G,B) receiver indices (into sorted layout)."""
+    pos_b = bi.pos.reshape(-1, BLOCK, 3)
+    valid_b = bi.valid.reshape(-1, BLOCK)
+    ids_c = jnp.maximum(ids, 0)
+    xi = pos_b[ids_c]                                   # (G,B,3)
+    cc = jnp.maximum(cidx, 0)                           # (G,M)
+    xj = pos_b[cc].reshape(_G, -1, 3)                   # (G,M*B,3)
+    vj = (valid_b[cc] & (cidx >= 0)[:, :, None]).reshape(_G, -1)
+    src = (cc[:, :, None] * BLOCK
+           + jnp.arange(BLOCK, dtype=jnp.int32)).reshape(_G, -1)
+    rcv = ids_c[:, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)
+    return xi, xj, vj, src, rcv
+
+
+def _r2(xi, xj, boxsize):
     r2 = 0.0
     for d in range(3):
         dd = _min_image(xi[:, :, None, d] - xj[:, None, :, d], boxsize)
@@ -73,43 +91,42 @@ def _r2_matrix(xi, xj, boxsize):
 
 
 class DensityResult(NamedTuple):
-    rho: jnp.ndarray           # (P,) SPH density (bias-corrected)
-    hsml: jnp.ndarray          # (P,)
-    var_hsml_fac: jnp.ndarray  # (P,) grad-h factor (sph.c:66)
-    wk_ngb: jnp.ndarray        # (P,) kernel-weighted neighbour number
-    done: jnp.ndarray          # (P,) converged within [0, h_cap]
-    saturated: jnp.ndarray     # (P,) wanted h >= h_cap -> enlarge & retry
+    rho: jnp.ndarray           # (S*B,)
+    hsml: jnp.ndarray
+    var_hsml_fac: jnp.ndarray
+    wk_ngb: jnp.ndarray
+    done: jnp.ndarray
+    saturated: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("kernel", "desnngb", "max_iter"))
-def solve_density(bi: BlockIndex, cand: CandidateList, hsml0, h_cap,
+def solve_density(bi: BlockIndex, sel: BlockSelection, hsml0, h_cap,
                   mpart, boxsize, *, kernel="wc6", desnngb=295,
                   max_iter=32) -> DensityResult:
-    """Adaptive-hsml SPH density over the block structure.
+    """Adaptive-hsml SPH density over the selected blocks.
 
-    Per receiver particle, solves (4pi/3) h^3 sum_j W(r_ij,h) = DESNNGB to
-    |wkNgb - DESNNGB| < NNGBDEV by guarded Newton-Raphson with bisection
-    bounds (the reference's scheme, sph.c:156-195), as masked fixed-shape
-    sweeps over the precomputed candidate distances.  `h_cap` is the radius
-    the candidate lists were built for; particles pushing h to the cap are
-    flagged `saturated` (the caller rebuilds with a larger cap — the
-    analogue of the reference's grow-and-research loop, sph.c:36-64).
+    Solves (4pi/3) h^3 sum_j W(r_ij,h) = DESNNGB to |wkNgb - DESNNGB| <
+    NNGBDEV by guarded Newton-Raphson with bisection bounds (the
+    reference's scheme, sph.c:156-195) as masked fixed-shape sweeps over
+    the precomputed candidate distances.  `hsml0`/`h_cap` are (P,) arrays
+    in sorted layout; `h_cap` is the radius the candidate lists were built
+    for — particles pushing h to the cap are flagged `saturated` (the
+    caller rebuilds with a larger cap, the analogue of the reference's
+    grow-and-research loop, sph.c:36-64).  Results are (S*B,) in selection
+    order.
     """
     w_fn, dw_fn, _ = kernel_fns(kernel)
     nngbdev = const.NNGBDEV
-    nb = bi.n_blocks
-    block_ids = _pad_chunks(jnp.arange(nb, dtype=jnp.int32), nb)
-    cand_chunks = _pad_chunks(cand.idx, nb, fill=-1)
-    h0_chunks = _pad_chunks(hsml0.reshape(nb, BLOCK), nb)
-    cap_chunks = _pad_chunks(h_cap.reshape(nb, BLOCK), nb)
-    gather = _gather_pairs(bi)
+    ids_c, cand_c = _chunked(sel)
+    h0_b = hsml0.reshape(-1, BLOCK)
+    cap_b = h_cap.reshape(-1, BLOCK)
 
     def chunk_fn(args):
-        ids, cidx, h0, cap = args
-        xi, xj, vj, _ = gather(ids, cidx)
-        r2 = _r2_matrix(xi, xj, boxsize)                 # (G,B,MB)
-        # self-pairs keep their W(0,h) contribution, like the reference
-        r = jnp.sqrt(r2)
+        ids, cidx = args
+        xi, xj, vj, _, _ = _gather(bi, ids, cidx)
+        h0 = h0_b[jnp.maximum(ids, 0)]
+        cap = cap_b[jnp.maximum(ids, 0)]
+        r = jnp.sqrt(_r2(xi, xj, boxsize))               # (G,B,MB)
         vjf = vj[:, None, :].astype(r.dtype)
 
         def sums(h):
@@ -147,8 +164,7 @@ def solve_density(bi: BlockIndex, cand: CandidateList, hsml0, h_cap,
             return (~jnp.all(done)) & (it < max_iter)
 
         h = jnp.minimum(h0, cap)
-        state = (0, h, jnp.zeros_like(h), cap,
-                 jnp.zeros(h.shape, bool))
+        state = (0, h, jnp.zeros_like(h), cap, jnp.zeros(h.shape, bool))
         _, h, _, _, done = jax.lax.while_loop(cond, body, state)
 
         wk_ngb, rho, drho = sums(h)
@@ -159,66 +175,60 @@ def solve_density(bi: BlockIndex, cand: CandidateList, hsml0, h_cap,
         saturated = (~done) | (h >= cap * 0.999)
         return rho, h, var_fac, wk_ngb, done, saturated
 
-    out = jax.lax.map(chunk_fn,
-                      (block_ids, cand_chunks, h0_chunks, cap_chunks))
-    flat = [o.reshape(-1)[: bi.n_padded] for o in out]
-    return DensityResult(*flat)
+    out = jax.lax.map(chunk_fn, (ids_c, cand_c))
+    s = sel.ids.shape[0] * BLOCK
+    return DensityResult(*[o.reshape(-1)[:s] for o in out])
 
 
 @partial(jax.jit, static_argnames=("kernel",))
-def wvt_displacement(bi: BlockIndex, cand: CandidateList, hsml_box, step,
+def wvt_displacement(bi: BlockIndex, sel: BlockSelection, hsml_box, step,
                      boxsize, *, kernel="wc6"):
-    """WVT repulsion: delta_i = sum_j step * h_i * W(r/hbar) * (dx/r) in box
-    units, pair cut r < hbar = (h_i+h_j)/2 (wvt_relax.c:126-171).
-    `hsml_box` is the dimensionless metric hsml; returns (P,3) box-unit
-    displacements."""
+    """WVT repulsion: delta_i = sum_j step * h_i * W(r/hbar) * (dx/r) in
+    box units, pair cut r < hbar = (h_i+h_j)/2 (wvt_relax.c:126-171).
+    `hsml_box` is the (P,) dimensionless metric hsml in sorted layout;
+    returns (S*B, 3) in selection order."""
     _, _, wflat = kernel_fns(kernel)
-    nb = bi.n_blocks
-    block_ids = _pad_chunks(jnp.arange(nb, dtype=jnp.int32), nb)
-    cand_chunks = _pad_chunks(cand.idx, nb, fill=-1)
-    h_chunks = _pad_chunks(hsml_box.reshape(nb, BLOCK), nb)
-    gather = _gather_pairs(bi)
-    h_sorted = hsml_box  # (P,)
+    ids_c, cand_c = _chunked(sel)
+    h_b = hsml_box.reshape(-1, BLOCK)
 
     def chunk_fn(args):
-        ids, cidx, h_i = args
-        xi, xj, vj, src = gather(ids, cidx)
-        h_j = h_sorted[src]                              # (G,MB)
-        hbar = 0.5 * (h_i[:, :, None] + h_j[:, None, :])  # box units
-        dx = [
-            _min_image(xi[:, :, None, d] - xj[:, None, :, d], boxsize)
-            / boxsize for d in range(3)]
+        ids, cidx = args
+        xi, xj, vj, src, _ = _gather(bi, ids, cidx)
+        h_i = h_b[jnp.maximum(ids, 0)]
+        h_j = hsml_box[src]                              # (G,MB)
+        hbar = 0.5 * (h_i[:, :, None] + h_j[:, None, :])
+        dx = [_min_image(xi[:, :, None, d] - xj[:, None, :, d], boxsize)
+              / boxsize for d in range(3)]
         r2 = dx[0] ** 2 + dx[1] ** 2 + dx[2] ** 2
         r = jnp.sqrt(r2)
-        mask = ((r2 < hbar * hbar) & (r2 > 0.0)
-                & vj[:, None, :])                        # excl. self
+        mask = (r2 < hbar * hbar) & (r2 > 0.0) & vj[:, None, :]
         w = jnp.where(mask, wflat(r / hbar), 0.0)
         inv_r = jnp.where(mask, 1.0 / jnp.maximum(r, 1e-30), 0.0)
         coef = step * h_i[:, :, None] * w * inv_r
         return jnp.stack([(coef * dx[d]).sum(-1) for d in range(3)],
-                         axis=-1)                        # (G,B,3)
+                         axis=-1)
 
-    out = jax.lax.map(chunk_fn, (block_ids, cand_chunks, h_chunks))
-    return out.reshape(-1, 3)[: bi.n_padded]
+    out = jax.lax.map(chunk_fn, (ids_c, cand_c))
+    return out.reshape(-1, 3)[: sel.ids.shape[0] * BLOCK]
 
 
 @partial(jax.jit, static_argnames=("kernel",))
-def sph_curl(bi: BlockIndex, cand: CandidateList, hsml, rho, var_fac,
+def sph_curl(bi: BlockIndex, sel: BlockSelection, hsml, rho, var_fac,
              apot, mpart, boxsize, *, kernel="wc6"):
     """B_i = sum_j (-m/rho_i) dW(r,h_i)/r varHsmlFac_i (d x dA), Price JCP
-    2010 eq. 79 (sph.c:216-300).  Inputs in sorted layout; returns (P,3)."""
+    2010 eq. 79 (sph.c:216-300).  Inputs (P,)/(P,3) in sorted layout;
+    returns (S*B, 3) in selection order."""
     _, dw_fn, _ = kernel_fns(kernel)
-    nb = bi.n_blocks
-    block_ids = _pad_chunks(jnp.arange(nb, dtype=jnp.int32), nb)
-    cand_chunks = _pad_chunks(cand.idx, nb, fill=-1)
-    h_chunks = _pad_chunks(hsml.reshape(nb, BLOCK), nb)
-    rho_chunks = _pad_chunks(rho.reshape(nb, BLOCK), nb)
-    vf_chunks = _pad_chunks(var_fac.reshape(nb, BLOCK), nb)
-    gather = _gather_pairs(bi)
+    ids_c, cand_c = _chunked(sel)
+    h_b = hsml.reshape(-1, BLOCK)
+    rho_b = rho.reshape(-1, BLOCK)
+    vf_b = var_fac.reshape(-1, BLOCK)
 
     def chunk_fn(args):
-        ids, cidx, h_i, rho_i, vf_i = args
-        xi, xj, vj, src = gather(ids, cidx)
+        ids, cidx = args
+        xi, xj, vj, src, rcv = _gather(bi, ids, cidx)
+        idc = jnp.maximum(ids, 0)
+        h_i, rho_i, vf_i = h_b[idc], rho_b[idc], vf_b[idc]
         dx = [_min_image(xi[:, :, None, d] - xj[:, None, :, d], boxsize)
               for d in range(3)]
         r2 = dx[0] ** 2 + dx[1] ** 2 + dx[2] ** 2
@@ -229,9 +239,7 @@ def sph_curl(bi: BlockIndex, cand: CandidateList, hsml, rho, var_fac,
         inv_r = jnp.where(mask, 1.0 / jnp.maximum(r, 1e-30), 0.0)
         weight = (-mpart / rho_i[:, :, None]) * dw * inv_r \
             * vf_i[:, :, None]
-        pos_b_idx = ids[:, None] * BLOCK + jnp.arange(BLOCK,
-                                                      dtype=jnp.int32)
-        ai = apot[pos_b_idx]                             # (G,B,3)
+        ai = apot[rcv]                                   # (G,B,3)
         aj = apot[src]                                   # (G,MB,3)
         dA = [ai[:, :, None, d] - aj[:, None, :, d] for d in range(3)]
         bx = (weight * (dx[2] * dA[1] - dx[1] * dA[2])).sum(-1)
@@ -239,6 +247,5 @@ def sph_curl(bi: BlockIndex, cand: CandidateList, hsml, rho, var_fac,
         bz = (weight * (dx[1] * dA[0] - dx[0] * dA[1])).sum(-1)
         return jnp.stack([bx, by, bz], axis=-1)
 
-    out = jax.lax.map(chunk_fn, (block_ids, cand_chunks, h_chunks,
-                                 rho_chunks, vf_chunks))
-    return out.reshape(-1, 3)[: bi.n_padded]
+    out = jax.lax.map(chunk_fn, (ids_c, cand_c))
+    return out.reshape(-1, 3)[: sel.ids.shape[0] * BLOCK]
