@@ -41,9 +41,10 @@ def main():
     parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
     n_gas = parts.n_gas
 
-    # warmup: one full iteration compiles every program in the loop
-    parts = wvt.regularise_sph_particles(
-        scene, ha, parts, log=silent_log)  # bounded by wvt_max_iter... warm
+    # warmup: one full pass compiles every program in the loop
+    # (stage logs go to stderr; stdout stays the single JSON line)
+    from toycluster_tpu.utils.logging import stage_log
+    parts = wvt.regularise_sph_particles(scene, ha, parts, log=stage_log)
     # timed: fixed number of iterations, no early stop
     cfg_t = cfg.replace(wvt_max_iter=ITERS)
     scene_t = scene  # same tables

@@ -94,7 +94,7 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
     on overflow (host-checked)."""
     key = ("sym" if symmetric else "gather",)
     if max_cand is None:
-        max_cand = _LAST_MAX_CAND.get(key, 128)
+        max_cand = _LAST_MAX_CAND.get(key, 2048)
     bi = blk.build_blocks(pos_gas, boxsize)
     h_cap = _pad_sorted(h_cap_gas, bi.order, bi.n_padded)
     radius = h_cap.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
@@ -119,17 +119,24 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
 # static width.
 # -------------------------------------------------------------------------
 
-_CLASS_EDGES = (32, 128, 512, 2048, 4096)
+_CLASS_EDGES = (128, 512, 2048, 4096)
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, (int(n) - 1)).bit_length()
+def _quantize_size(n: int, nb: int) -> int:
+    """Round a selection size up onto a coarse geometric grid
+    {nb, nb/2, nb/4, ..., 64} so the jit shapes repeat across WVT
+    iterations even as class memberships drift."""
+    size = max(nb, 64)
+    while size // 2 >= max(n, 64):
+        size //= 2
+    return size
 
 
 def classed_selections(state: NeighbourState):
     """Host-side bucketing of receiver blocks by candidate count; each
-    bucket is padded (ids = -1) to a power of two for shape stability."""
+    bucket is padded (ids = -1) to a quantized size for shape stability."""
     counts = np.asarray(state.cand.count)
+    nb = len(counts)
     sels = []
     lo = 0
     for edge in _CLASS_EDGES:
@@ -139,7 +146,7 @@ def classed_selections(state: NeighbourState):
         ids = np.where((counts > lo) & (counts <= m))[0].astype(np.int32)
         lo = m
         if len(ids):
-            padded = np.full(_next_pow2(len(ids)), -1, np.int32)
+            padded = np.full(_quantize_size(len(ids), nb), -1, np.int32)
             padded[: len(ids)] = ids
             sels.append((m, padded))
         if m >= state.max_cand:

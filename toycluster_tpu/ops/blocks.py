@@ -106,7 +106,7 @@ _CAND_CHUNK = 512  # receiver blocks per chunk to bound temporaries
 
 @partial(jax.jit, static_argnames=("max_cand", "max_super", "symmetric"))
 def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
-                    max_super: int = 64, symmetric: bool = False
+                    max_super: int | None = None, symmetric: bool = False
                     ) -> CandidateList:
     """Per receiver block, the blocks whose bbox lies within its search
     radius (min-image).  `radius` is (nb,) per-block; with
@@ -121,6 +121,10 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
     """
     nb = bi.n_blocks
     ns = bi.sb_lo.shape[0]
+    if max_super is None:
+        # a superblock hit can carry as few as 1 block, so the superblock
+        # budget must scale with the candidate budget
+        max_super = min(ns, max(64, max_cand // 4))
 
     # superblock radius: conservative per-superblock max of block radii
     pad = jnp.full((ns * SUPER - nb,), 0.0, radius.dtype)

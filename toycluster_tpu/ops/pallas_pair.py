@@ -1,0 +1,224 @@
+"""Fused Pallas TPU kernels for the block-sparse pair operators.
+
+The XLA path (ops/pair_ops.py) materialises a (B, M*B) distance matrix per
+receiver-block chunk in HBM; these kernels instead stream candidate blocks
+through VMEM with the grid (receiver block s, sweep k, candidate m):
+
+* the candidate block index for (s, m) comes from a scalar-prefetched list,
+  so the pipeline's double-buffered DMA fetches exactly the blocks the
+  bbox search selected (the reference's tree walk, tree.c:25-111, recast
+  as data movement);
+* all sweeps of a receiver block run before the grid moves to the next
+  block, so the whole Newton/bisection state (h, lo, hi, done) plus the
+  per-receiver accumulators live in one small VMEM scratch tile;
+* distances are recomputed per sweep (8 extra flops/pair) so VMEM holds
+  only one (3, B) candidate tile at a time — candidate lists of any M fit.
+
+The solve contract is identical to pair_ops.solve_density
+(sph.c:156-195): |wkNgb - DESNNGB| < NNGBDEV via guarded Newton with
+bisection bounds, Dehnen+12 WC6 bias correction, grad-h factor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as const
+from .blocks import BLOCK
+
+_SWEEPS = 12  # Newton/bisection sweeps (warm starts converge in <= ~6)
+
+# scratch rows: 0 wk-accum, 1 r*dW-accum, 2 h, 3 lo, 4 hi, 5 done
+_ACC_W, _ACC_RDW, _H, _LO, _HI, _DONE = range(6)
+
+
+def _wc6_w_dw(r, h):
+    """WC6 kernel and derivative (sph.c:426-440), support mask built in."""
+    u = r / h
+    m = u < 1.0
+    t = jnp.where(m, 1.0 - u, 0.0)
+    t2 = t * t
+    t4 = t2 * t2
+    norm = 1365.0 / (64.0 * const.PI)
+    w = norm / (h * h * h) * t4 * t4 * (
+        1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
+    dw = (norm / (h * h * h * h) * (-22.0) * t4 * t2 * t * u
+          * (16.0 * u * u + 7.0 * u + 1.0))
+    return w, dw
+
+
+def _m4_w_dw(r, h):
+    """Cubic spline kernel and derivative (sph.c:442-466)."""
+    u = r / h
+    wi = 2.546479089470 + 15.278874536822 * (u - 1.0) * u * u
+    wo = 5.092958178941 * (1.0 - u) ** 3
+    w = jnp.where(u < 0.5, wi, jnp.where(u < 1.0, wo, 0.0)) / (h * h * h)
+    di = u * (45.836623610466 * u - 30.557749073644)
+    do = -15.278874536822 * (1.0 - u) ** 2
+    dw = jnp.where(u < 0.5, di, jnp.where(u < 1.0, do, 0.0)) \
+        / (h * h * h * h)
+    return w, dw
+
+
+def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
+                    cand_ref,                    # (S, M) scalar prefetch
+                    xi_ref,                      # (1, 3, B)
+                    xj_ref,                      # (1, 3, B)
+                    vj_ref,                      # (1, 1, B)
+                    h0_ref, cap_ref,             # (1, B)
+                    rho_ref, h_out, vf_ref, wk_ref, done_ref,  # (1, B) out
+                    st_ref):                     # (8, B) scratch
+    s = pl.program_id(0)
+    k = pl.program_id(1)
+    m = pl.program_id(2)
+    n_m = pl.num_programs(2)
+
+    @pl.when((k == 0) & (m == 0))
+    def _():
+        st_ref[_H, :] = jnp.minimum(h0_ref[0, :], cap_ref[0, :])
+        st_ref[_LO, :] = jnp.zeros((BLOCK,), jnp.float32)
+        st_ref[_HI, :] = cap_ref[0, :]
+        st_ref[_DONE, :] = jnp.zeros((BLOCK,), jnp.float32)
+
+    @pl.when(m == 0)
+    def _():
+        st_ref[_ACC_W, :] = jnp.zeros((BLOCK,), jnp.float32)
+        st_ref[_ACC_RDW, :] = jnp.zeros((BLOCK,), jnp.float32)
+
+    h = st_ref[_H, :]
+    done = st_ref[_DONE, :] > 0.5
+    cand_valid = cand_ref[s, m] >= 0
+    last_sweep = k == n_sweeps - 1
+
+    # skip converged blocks, but the last sweep always accumulates — it
+    # records rho/wkNgb/varHsmlFac at the frozen h
+    @pl.when(cand_valid & (jnp.logical_not(jnp.all(done)) | last_sweep))
+    def _():
+        xi = xi_ref[0]                   # (3, B) receivers on lanes
+        xj = xj_ref[0]
+        vj = vj_ref[0, 0, :]
+        # tile (source sublane, receiver lane): per-receiver h broadcasts
+        # along lanes without relayout
+        r2 = jnp.zeros((BLOCK, BLOCK), jnp.float32)
+        for d in range(3):
+            dd = xj[d][:, None] - xi[d][None, :]
+            dd = dd - boxsize * jnp.round(dd / boxsize)
+            r2 += dd * dd
+        r = jnp.sqrt(r2)
+        hb = h[None, :]
+        if kernel_kind == "m4":
+            w, dw = _m4_w_dw(r, hb)
+        else:
+            w, dw = _wc6_w_dw(r, hb)
+        wv = w * vj[:, None]
+        st_ref[_ACC_W, :] += wv.sum(axis=0)
+        st_ref[_ACC_RDW, :] += (r * dw * vj[:, None]).sum(axis=0)
+
+    @pl.when(m == n_m - 1)
+    def _():
+        cap = cap_ref[0, :]
+        lo = st_ref[_LO, :]
+        hi = st_ref[_HI, :]
+        sum_w = st_ref[_ACC_W, :]
+        sum_rdw = st_ref[_ACC_RDW, :]
+        wk_ngb = const.FOURPITHIRD * h**3 * sum_w
+        rho = mpart * sum_w
+        drho = -mpart * (3.0 / h * sum_w + sum_rdw / h)
+        ngb_dev = jnp.abs(wk_ngb - desnngb)
+        now_done = ngb_dev < const.NNGBDEV
+
+        # Newton / bisection update (sph.c:175-195)
+        omega = 1.0 + drho * h / (3.0 * jnp.maximum(rho, 1e-30))
+        fac = 1.0 - (wk_ngb - desnngb) / (
+            3.0 * jnp.maximum(wk_ngb, 1e-30) * omega)
+        fac = jnp.clip(fac, 1.0 / 1.24, 1.24)
+        hi_n = jnp.where(wk_ngb > desnngb, h, hi)
+        lo_n = jnp.where(wk_ngb < desnngb, h, lo)
+        h_bis = (0.5 * (lo_n**3 + hi_n**3)) ** (1.0 / 3.0)
+        h_new = jnp.where(ngb_dev < 0.5 * desnngb, h * fac, h_bis)
+        h_new = jnp.minimum(h_new, cap)
+        freeze = done | now_done
+        st_ref[_H, :] = jnp.where(freeze, h, h_new)
+        st_ref[_LO, :] = lo_n
+        st_ref[_HI, :] = hi_n
+        st_ref[_DONE, :] = jnp.where(freeze, 1.0, 0.0)
+
+        @pl.when(k == n_sweeps - 1)
+        def _():
+            # record at the current h: frozen lanes are at their solved h
+            rho_out = rho
+            if kernel_kind == "wc6":  # Dehnen+12 (sph.c:202-210)
+                w0 = 1365.0 / (64.0 * const.PI) / (h * h * h)
+                rho_out = rho + (-0.0116 * (desnngb * 0.01) ** (-2.236)
+                                 * mpart * w0)
+            rho_ref[0, :] = rho_out
+            wk_ref[0, :] = wk_ngb
+            vf_ref[0, :] = 1.0 / (1.0 + h / (3.0 * jnp.maximum(rho, 1e-30))
+                                  * drho)
+            h_out[0, :] = h
+            done_ref[0, :] = jnp.where(done | now_done, 1.0, 0.0)
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
+                          "mpart", "boxsize"))
+def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
+                         mpart, boxsize, *, kernel="wc6", desnngb=295,
+                         n_sweeps=_SWEEPS, interpret=False):
+    """Pallas twin of pair_ops.solve_density for one count class.
+
+    pos_blocks:   (nb, 3, B) sorted coords, transposed block layout
+    valid_blocks: (nb, 1, B) f32 source validity
+    cand:         (S, M) candidate block ids (-1 padded)
+    xi:           (S, 3, B) receiver coords (pre-gathered)
+    h0, cap:      (S, B)
+    Returns (rho, hsml, var_fac, wk_ngb, done, saturated), each (S, B).
+    """
+    S, M = cand.shape
+    nb = pos_blocks.shape[0]
+    f32 = jnp.float32
+    kern = partial(_density_kernel, kernel, float(desnngb), float(mpart),
+                   float(boxsize), n_sweeps)
+
+    def imap_s(s, k, m, cand_ref):
+        return (s, 0, 0)
+
+    def imap_cand(s, k, m, cand_ref):
+        return (jnp.maximum(cand_ref[s, m], 0), 0, 0)
+
+    def imap_flat(s, k, m, cand_ref):
+        return (s, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, n_sweeps, M),
+        in_specs=[
+            pl.BlockSpec((1, 3, BLOCK), imap_s),       # xi
+            pl.BlockSpec((1, 3, BLOCK), imap_cand),    # xj
+            pl.BlockSpec((1, 1, BLOCK), imap_cand),    # vj
+            pl.BlockSpec((1, BLOCK), imap_flat),       # h0
+            pl.BlockSpec((1, BLOCK), imap_flat),       # cap
+        ],
+        out_specs=[pl.BlockSpec((1, BLOCK), imap_flat)
+                   for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((8, BLOCK), f32)],
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((S, BLOCK), f32) for _ in range(5)]
+    # index map needs in-range ids; validity rides in the original sign
+    # bit via a second prefetch-free check (cand_ref holds -1 markers, the
+    # map clamps to 0) — so pass the raw list and clamp inside the map
+    rho, h, vf, wk, done_f = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(cand.astype(jnp.int32), xi, pos_blocks, valid_blocks,
+      h0.astype(f32), cap.astype(f32))
+
+    done = done_f > 0.5
+    saturated = (~done) | (h >= cap * 0.999)
+    return rho, h, vf, wk, done, saturated
