@@ -14,6 +14,7 @@ halo membership rides along in `parts.halo`.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -26,8 +27,17 @@ from ..ops import pair_ops
 from ..particles import HaloArrays, Particles, gas_density_device
 from ..scene import Scene
 
-_CAP_FACTOR = 1.4      # candidate radius margin over the model-based h0
+_CAP_FACTOR = 1.2      # candidate radius margin over the model-based h0
 _MAX_REBUILDS = 5
+
+
+def _engine() -> str:
+    """Density-solve engine: 'xla' (ops/pair_ops, default off-TPU) or
+    'pallas' (ops/pallas_pair fused kernel)."""
+    env = os.environ.get("TOYCLUSTER_ENGINE")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
 
 def global_density_model(pos_box, ha: HaloArrays, boxsize, cool_core=None):
@@ -209,10 +219,26 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
         bi = state.index
         h0_sorted = _pad_sorted(h0, bi.order, bi.n_padded)
 
-        def density_class(sel, m):
-            return pair_ops.solve_density(
-                bi, sel, h0_sorted, state.h_cap, mpart, boxsize,
-                kernel=cfg.sph_kernel, desnngb=desnngb)
+        if _engine() == "pallas":
+            from ..ops.pallas_pair import solve_density_pallas
+            nb = bi.n_blocks
+            pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+            valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+            h0_b = h0_sorted.reshape(nb, blk.BLOCK)
+            cap_b = state.h_cap.reshape(nb, blk.BLOCK)
+
+            def density_class(sel, m):
+                idc = jnp.maximum(sel.ids, 0)
+                out = solve_density_pallas(
+                    pos_t, valid_t, sel.cand, pos_t[idc], h0_b[idc],
+                    cap_b[idc], float(mpart), float(boxsize),
+                    kernel=cfg.sph_kernel, desnngb=desnngb)
+                return [o.reshape(-1) for o in out]
+        else:
+            def density_class(sel, m):
+                return pair_ops.solve_density(
+                    bi, sel, h0_sorted, state.h_cap, mpart, boxsize,
+                    kernel=cfg.sph_kernel, desnngb=desnngb)
 
         res = pair_ops.DensityResult(*run_classed(state, density_class))
         # particles whose cap hit the global clamp keep their capped h
