@@ -76,3 +76,26 @@ def test_pallas_matches_xla_solver(setup):
                                rtol=5e-3)
     wk_p = np.asarray(wk).reshape(-1)[both]
     assert np.abs(wk_p - DESNNGB).max() < 0.05 + 1e-3
+
+
+def test_pallas_displacement_matches_xla(setup):
+    from toycluster_tpu.ops.pallas_pair import wvt_displacement_pallas
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    h_box = h0s / BOX
+    sel = pair_ops.full_selection(bi, cand.idx)
+    d_xla = pair_ops.wvt_displacement(bi, sel, h_box, 0.01, BOX)
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+    h_b = h_box.reshape(nb, blk.BLOCK)
+    h_b3 = h_box.reshape(nb, 1, blk.BLOCK)
+    d_pal = wvt_displacement_pallas(pos_t, valid_t, h_b3, cand.idx, pos_t,
+                                    h_b, 0.01, BOX, kernel="wc6",
+                                    interpret=True)
+    v = np.asarray(bi.valid)
+    a = np.asarray(d_xla)[v]
+    b = np.asarray(d_pal).reshape(-1, 3)[v]
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6 * scale)

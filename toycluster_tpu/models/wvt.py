@@ -131,9 +131,26 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         bi = state.index
         h_sorted = sph_mod._pad_sorted(h_box, bi.order, bi.n_padded)
 
-        def disp_class(sel, m):
-            return (pair_ops.wvt_displacement(
-                bi, sel, h_sorted, step, boxsize, kernel=cfg.sph_kernel),)
+        if sph_mod._engine() == "pallas":
+            from ..ops.pallas_pair import wvt_displacement_pallas
+            nb = bi.n_blocks
+            pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+            valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(
+                jnp.float32)
+            h_b = h_sorted.reshape(nb, blk.BLOCK)
+            h_b3 = h_sorted.reshape(nb, 1, blk.BLOCK)
+
+            def disp_class(sel, m):
+                idc = jnp.maximum(sel.ids, 0)
+                out = wvt_displacement_pallas(
+                    pos_t, valid_t, h_b3, sel.cand, pos_t[idc], h_b[idc],
+                    float(step), float(boxsize), kernel=cfg.sph_kernel)
+                return (out.reshape(-1, 3),)
+        else:
+            def disp_class(sel, m):
+                return (pair_ops.wvt_displacement(
+                    bi, sel, h_sorted, step, boxsize,
+                    kernel=cfg.sph_kernel),)
 
         (delta_sorted,) = sph_mod.run_classed(state, disp_class)
         delta = jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(

@@ -70,7 +70,7 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     xi_ref,                      # (1, 3, B)
                     xj_ref,                      # (1, 3, B)
                     vj_ref,                      # (1, 1, B)
-                    h0_ref, cap_ref,             # (1, B)
+                    h0_ref, cap_ref,             # (1, 1, B)
                     rho_ref, h_out, vf_ref, wk_ref, done_ref,  # (1, B) out
                     st_ref):                     # (8, B) scratch
     s = pl.program_id(0)
@@ -80,9 +80,9 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
     @pl.when((k == 0) & (m == 0))
     def _():
-        st_ref[_H, :] = jnp.minimum(h0_ref[0, :], cap_ref[0, :])
+        st_ref[_H, :] = jnp.minimum(h0_ref[0, 0, :], cap_ref[0, 0, :])
         st_ref[_LO, :] = jnp.zeros((BLOCK,), jnp.float32)
-        st_ref[_HI, :] = cap_ref[0, :]
+        st_ref[_HI, :] = cap_ref[0, 0, :]
         st_ref[_DONE, :] = jnp.zeros((BLOCK,), jnp.float32)
 
     @pl.when(m == 0)
@@ -121,7 +121,7 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
     @pl.when(m == n_m - 1)
     def _():
-        cap = cap_ref[0, :]
+        cap = cap_ref[0, 0, :]
         lo = st_ref[_LO, :]
         hi = st_ref[_HI, :]
         sum_w = st_ref[_ACC_W, :]
@@ -156,12 +156,123 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 w0 = 1365.0 / (64.0 * const.PI) / (h * h * h)
                 rho_out = rho + (-0.0116 * (desnngb * 0.01) ** (-2.236)
                                  * mpart * w0)
-            rho_ref[0, :] = rho_out
-            wk_ref[0, :] = wk_ngb
-            vf_ref[0, :] = 1.0 / (1.0 + h / (3.0 * jnp.maximum(rho, 1e-30))
-                                  * drho)
-            h_out[0, :] = h
-            done_ref[0, :] = jnp.where(done | now_done, 1.0, 0.0)
+            rho_ref[0, 0, :] = rho_out
+            wk_ref[0, 0, :] = wk_ngb
+            vf_ref[0, 0, :] = 1.0 / (
+                1.0 + h / (3.0 * jnp.maximum(rho, 1e-30)) * drho)
+            h_out[0, 0, :] = h
+            done_ref[0, 0, :] = jnp.where(done | now_done, 1.0, 0.0)
+
+
+def _wc6_flat(u):
+    m = u < 1.0
+    t = jnp.where(m, 1.0 - u, 0.0)
+    t2 = t * t
+    t4 = t2 * t2
+    return (1365.0 / (64.0 * const.PI)) * t4 * t4 * (
+        1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
+
+
+def _m4_flat(u):
+    wi = 2.546479089470 + 15.278874536822 * (u - 1.0) * u * u
+    wo = 5.092958178941 * (1.0 - u) ** 3
+    return jnp.where(u < 0.5, wi, jnp.where(u < 1.0, wo, 0.0))
+
+
+def _displacement_kernel(kernel_kind, boxsize,
+                         cand_ref,                   # (S, M) prefetch
+                         xi_ref,                     # (1, 3, B)
+                         xj_ref,                     # (1, 3, B)
+                         vj_ref,                     # (1, 1, B) validity
+                         hj_ref,                     # (1, 1, B) source h
+                         hi_ref,                     # (1, 1, B) receiver h
+                         out_ref,                    # (1, 3, B)
+                         acc_ref):                   # (8, B) scratch
+    s = pl.program_id(0)
+    m = pl.program_id(1)
+    n_m = pl.num_programs(1)
+
+    @pl.when(m == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(cand_ref[s, m] >= 0)
+    def _():
+        xi = xi_ref[0]
+        xj = xj_ref[0]
+        vj = vj_ref[0, 0, :]
+        h_i = hi_ref[0, 0, :]                       # (B,) receivers/lanes
+        h_j = hj_ref[0, 0, :]                       # (B,) sources/lanes
+        # tile (source sublane, receiver lane); dx = x_i - x_j
+        dx = []
+        r2 = jnp.zeros((BLOCK, BLOCK), jnp.float32)
+        for d in range(3):
+            dd = xi[d][None, :] - xj[d][:, None]
+            dd = dd - boxsize * jnp.round(dd / boxsize)
+            dd = dd / boxsize                        # box units
+            dx.append(dd)
+            r2 += dd * dd
+        hbar = 0.5 * (h_j[:, None] + h_i[None, :])
+        r = jnp.sqrt(r2)
+        mask = ((r2 < hbar * hbar) & (r2 > 0.0)
+                & (vj[:, None] > 0.5))
+        u = jnp.where(mask, r / hbar, 1.0)
+        wflat = _m4_flat(u) if kernel_kind == "m4" else _wc6_flat(u)
+        w = jnp.where(mask, wflat, 0.0)
+        inv_r = jnp.where(mask, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+        coef = h_i[None, :] * w * inv_r  # step applied by the caller
+        for d in range(3):
+            acc_ref[d, :] += (coef * dx[d]).sum(axis=0)
+
+    @pl.when(m == n_m - 1)
+    def _():
+        out_ref[0, 0, :] = acc_ref[0, :]
+        out_ref[0, 1, :] = acc_ref[1, :]
+        out_ref[0, 2, :] = acc_ref[2, :]
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "boxsize", "interpret"))
+def wvt_displacement_pallas(pos_blocks, valid_blocks, h_blocks, cand, xi,
+                            h_i, step, boxsize, *, kernel="wc6",
+                            interpret=False):
+    """Pallas twin of pair_ops.wvt_displacement for one count class.
+
+    pos_blocks: (nb, 3, B); valid_blocks, h_blocks: (nb, 1, B)
+    cand: (S, M); xi: (S, 3, B); h_i: (S, B) metric hsml (box units)
+    Returns (S, B, 3) box-unit displacements.
+    """
+    S, M = cand.shape
+    f32 = jnp.float32
+    kern = partial(_displacement_kernel, kernel, float(boxsize))
+
+    def imap_s(s, m, cand_ref):
+        return (s, 0, 0)
+
+    def imap_cand(s, m, cand_ref):
+        return (jnp.maximum(cand_ref[s, m], 0), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, M),
+        in_specs=[
+            pl.BlockSpec((1, 3, BLOCK), imap_s),       # xi
+            pl.BlockSpec((1, 3, BLOCK), imap_cand),    # xj
+            pl.BlockSpec((1, 1, BLOCK), imap_cand),    # vj
+            pl.BlockSpec((1, 1, BLOCK), imap_cand),    # hj
+            pl.BlockSpec((1, 1, BLOCK), imap_s),       # hi
+        ],
+        out_specs=[pl.BlockSpec((1, 3, BLOCK), imap_s)],
+        scratch_shapes=[pltpu.VMEM((8, BLOCK), f32)],
+    )
+
+    (out,) = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S, 3, BLOCK), f32)],
+        interpret=interpret,
+    )(cand.astype(jnp.int32), xi, pos_blocks, valid_blocks, h_blocks,
+      h_i.astype(f32).reshape(S, 1, BLOCK))
+    return out.transpose(0, 2, 1) * step  # (S, B, 3)
 
 
 @partial(jax.jit,
@@ -192,7 +303,7 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
         return (jnp.maximum(cand_ref[s, m], 0), 0, 0)
 
     def imap_flat(s, k, m, cand_ref):
-        return (s, 0)
+        return (s, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -201,15 +312,18 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
             pl.BlockSpec((1, 3, BLOCK), imap_s),       # xi
             pl.BlockSpec((1, 3, BLOCK), imap_cand),    # xj
             pl.BlockSpec((1, 1, BLOCK), imap_cand),    # vj
-            pl.BlockSpec((1, BLOCK), imap_flat),       # h0
-            pl.BlockSpec((1, BLOCK), imap_flat),       # cap
+            pl.BlockSpec((1, 1, BLOCK), imap_flat),    # h0
+            pl.BlockSpec((1, 1, BLOCK), imap_flat),    # cap
         ],
-        out_specs=[pl.BlockSpec((1, BLOCK), imap_flat)
+        out_specs=[pl.BlockSpec((1, 1, BLOCK), imap_flat)
                    for _ in range(5)],
         scratch_shapes=[pltpu.VMEM((8, BLOCK), f32)],
     )
 
-    out_shape = [jax.ShapeDtypeStruct((S, BLOCK), f32) for _ in range(5)]
+    # flat per-block arrays ride as (S, 1, B): Mosaic requires the last two
+    # block dims be (8k, 128m) or match the array dims
+    out_shape = [jax.ShapeDtypeStruct((S, 1, BLOCK), f32)
+                 for _ in range(5)]
     # index map needs in-range ids; validity rides in the original sign
     # bit via a second prefetch-free check (cand_ref holds -1 markers, the
     # map clamps to 0) — so pass the raw list and clamp inside the map
@@ -217,7 +331,10 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(cand.astype(jnp.int32), xi, pos_blocks, valid_blocks,
-      h0.astype(f32), cap.astype(f32))
+      h0.astype(f32).reshape(S, 1, BLOCK),
+      cap.astype(f32).reshape(S, 1, BLOCK))
+    rho, h, vf, wk, done_f = (a.reshape(S, BLOCK)
+                              for a in (rho, h, vf, wk, done_f))
 
     done = done_f > 0.5
     saturated = (~done) | (h >= cap * 0.999)
