@@ -65,14 +65,22 @@ def _m4_w_dw(r, h):
     return w, dw
 
 
+_FAN = 4  # candidate blocks streamed per grid step (amortises step cost)
+
+
 def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     cand_ref,                    # (S, M) scalar prefetch
                     xi_ref,                      # (1, 3, B)
-                    xj_ref,                      # (1, 3, B)
-                    vj_ref,                      # (1, 1, B)
-                    h0_ref, cap_ref,             # (1, 1, B)
-                    rho_ref, h_out, vf_ref, wk_ref, done_ref,  # (1, B) out
-                    st_ref):                     # (8, B) scratch
+                    *rest):
+    # rest: _FAN x xj_ref (1,3,B), _FAN x vj_ref (1,1,B), h0, cap,
+    #       5 outputs, scratch
+    xj_refs = rest[:_FAN]
+    vj_refs = rest[_FAN:2 * _FAN]
+    h0_ref, cap_ref = rest[2 * _FAN:2 * _FAN + 2]
+    rho_ref, h_out, vf_ref, wk_ref, done_ref = rest[2 * _FAN + 2:
+                                                    2 * _FAN + 7]
+    st_ref = rest[2 * _FAN + 7]
+
     s = pl.program_id(0)
     k = pl.program_id(1)
     m = pl.program_id(2)
@@ -92,32 +100,35 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
     h = st_ref[_H, :]
     done = st_ref[_DONE, :] > 0.5
-    cand_valid = cand_ref[s, m] >= 0
+    any_valid = cand_ref[s, m * _FAN] >= 0  # lists are sorted: slot 0 first
     last_sweep = k == n_sweeps - 1
 
     # skip converged blocks, but the last sweep always accumulates — it
     # records rho/wkNgb/varHsmlFac at the frozen h
-    @pl.when(cand_valid & (jnp.logical_not(jnp.all(done)) | last_sweep))
+    @pl.when(any_valid & (jnp.logical_not(jnp.all(done)) | last_sweep))
     def _():
         xi = xi_ref[0]                   # (3, B) receivers on lanes
-        xj = xj_ref[0]
-        vj = vj_ref[0, 0, :]
-        # tile (source sublane, receiver lane): per-receiver h broadcasts
-        # along lanes without relayout
-        r2 = jnp.zeros((BLOCK, BLOCK), jnp.float32)
+        # stack _FAN candidate blocks along sublanes: tile (F*B, B)
+        r2 = jnp.zeros((_FAN * BLOCK, BLOCK), jnp.float32)
         for d in range(3):
-            dd = xj[d][:, None] - xi[d][None, :]
+            xjd = jnp.concatenate([xj[0, d][:, None] for xj in xj_refs],
+                                  axis=0)                 # (F*B, 1)
+            dd = xjd - xi[d][None, :]
             dd = dd - boxsize * jnp.round(dd / boxsize)
             r2 += dd * dd
+        vj = jnp.concatenate(
+            [vj_refs[f][0, 0, :][:, None]
+             * (cand_ref[s, m * _FAN + f] >= 0).astype(jnp.float32)
+             for f in range(_FAN)], axis=0)               # (F*B, 1)
         r = jnp.sqrt(r2)
         hb = h[None, :]
         if kernel_kind == "m4":
             w, dw = _m4_w_dw(r, hb)
         else:
             w, dw = _wc6_w_dw(r, hb)
-        wv = w * vj[:, None]
+        wv = w * vj
         st_ref[_ACC_W, :] += wv.sum(axis=0)
-        st_ref[_ACC_RDW, :] += (r * dw * vj[:, None]).sum(axis=0)
+        st_ref[_ACC_RDW, :] += (r * dw * vj).sum(axis=0)
 
     @pl.when(m == n_m - 1)
     def _():
@@ -293,28 +304,38 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
     S, M = cand.shape
     nb = pos_blocks.shape[0]
     f32 = jnp.float32
+    # pad candidate lists to a multiple of the per-step fan-out
+    if M % _FAN:
+        pad = _FAN - M % _FAN
+        cand = jnp.concatenate(
+            [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
+        M += pad
     kern = partial(_density_kernel, kernel, float(desnngb), float(mpart),
                    float(boxsize), n_sweeps)
 
     def imap_s(s, k, m, cand_ref):
         return (s, 0, 0)
 
-    def imap_cand(s, k, m, cand_ref):
-        return (jnp.maximum(cand_ref[s, m], 0), 0, 0)
+    def make_imap_cand(f):
+        def imap(s, k, m, cand_ref):
+            return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
+        return imap
 
     def imap_flat(s, k, m, cand_ref):
         return (s, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S, n_sweeps, M),
-        in_specs=[
-            pl.BlockSpec((1, 3, BLOCK), imap_s),       # xi
-            pl.BlockSpec((1, 3, BLOCK), imap_cand),    # xj
-            pl.BlockSpec((1, 1, BLOCK), imap_cand),    # vj
-            pl.BlockSpec((1, 1, BLOCK), imap_flat),    # h0
-            pl.BlockSpec((1, 1, BLOCK), imap_flat),    # cap
-        ],
+        grid=(S, n_sweeps, M // _FAN),
+        in_specs=(
+            [pl.BlockSpec((1, 3, BLOCK), imap_s)]            # xi
+            + [pl.BlockSpec((1, 3, BLOCK), make_imap_cand(f))
+               for f in range(_FAN)]                         # xj
+            + [pl.BlockSpec((1, 1, BLOCK), make_imap_cand(f))
+               for f in range(_FAN)]                         # vj
+            + [pl.BlockSpec((1, 1, BLOCK), imap_flat),       # h0
+               pl.BlockSpec((1, 1, BLOCK), imap_flat)]       # cap
+        ),
         out_specs=[pl.BlockSpec((1, 1, BLOCK), imap_flat)
                    for _ in range(5)],
         scratch_shapes=[pltpu.VMEM((8, BLOCK), f32)],
@@ -324,15 +345,14 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
     # block dims be (8k, 128m) or match the array dims
     out_shape = [jax.ShapeDtypeStruct((S, 1, BLOCK), f32)
                  for _ in range(5)]
-    # index map needs in-range ids; validity rides in the original sign
-    # bit via a second prefetch-free check (cand_ref holds -1 markers, the
-    # map clamps to 0) — so pass the raw list and clamp inside the map
+    args = ([cand.astype(jnp.int32), xi]
+            + [pos_blocks] * _FAN + [valid_blocks] * _FAN
+            + [h0.astype(f32).reshape(S, 1, BLOCK),
+               cap.astype(f32).reshape(S, 1, BLOCK)])
     rho, h, vf, wk, done_f = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-    )(cand.astype(jnp.int32), xi, pos_blocks, valid_blocks,
-      h0.astype(f32).reshape(S, 1, BLOCK),
-      cap.astype(f32).reshape(S, 1, BLOCK))
+    )(*args)
     rho, h, vf, wk, done_f = (a.reshape(S, BLOCK)
                               for a in (rho, h, vf, wk, done_f))
 
