@@ -32,6 +32,24 @@ from .. import constants as const
 from .blocks import BLOCK
 
 _SWEEPS = 12  # Newton/bisection sweeps (warm starts converge in <= ~6)
+_SMEM_BUDGET = 1 << 19  # candidate lists ride in SMEM (~1MB): chunk rows
+
+
+def _row_chunks(S: int, M: int) -> int:
+    """Receiver-row chunk size so the (S_c, M) int32 prefetch fits SMEM."""
+    sc = max(1, _SMEM_BUDGET // (4 * M))
+    sc = 1 << (sc.bit_length() - 1)  # floor pow2 for shape stability
+    return min(S, sc)
+
+
+def _pad_rows(arr, s_pad):
+    pad = s_pad - arr.shape[0]
+    if pad:
+        filler = jnp.zeros((pad,) + arr.shape[1:], arr.dtype)
+        if arr.dtype == jnp.int32:
+            filler = filler - 1  # candidate padding marker
+        arr = jnp.concatenate([arr, filler])
+    return arr
 
 # scratch rows: 0 wk-accum, 1 r*dW-accum, 2 h, 3 lo, 4 hi, 5 done
 _ACC_W, _ACC_RDW, _H, _LO, _HI, _DONE = range(6)
@@ -193,12 +211,16 @@ def _m4_flat(u):
 def _displacement_kernel(kernel_kind, boxsize,
                          cand_ref,                   # (S, M) prefetch
                          xi_ref,                     # (1, 3, B)
-                         xj_ref,                     # (1, 3, B)
-                         vj_ref,                     # (1, 1, B) validity
-                         hj_ref,                     # (1, 1, B) source h
-                         hi_ref,                     # (1, 1, B) receiver h
-                         out_ref,                    # (1, 3, B)
-                         acc_ref):                   # (8, B) scratch
+                         *rest):
+    # rest: _FAN x xj (1,3,B), _FAN x vj (1,1,B), _FAN x hj (1,1,B),
+    #       hi (1,1,B), out (1,3,B), scratch (8,B)
+    xj_refs = rest[:_FAN]
+    vj_refs = rest[_FAN:2 * _FAN]
+    hj_refs = rest[2 * _FAN:3 * _FAN]
+    hi_ref = rest[3 * _FAN]
+    out_ref = rest[3 * _FAN + 1]
+    acc_ref = rest[3 * _FAN + 2]
+
     s = pl.program_id(0)
     m = pl.program_id(1)
     n_m = pl.num_programs(1)
@@ -207,26 +229,30 @@ def _displacement_kernel(kernel_kind, boxsize,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(cand_ref[s, m] >= 0)
+    @pl.when(cand_ref[s, m * _FAN] >= 0)
     def _():
         xi = xi_ref[0]
-        xj = xj_ref[0]
-        vj = vj_ref[0, 0, :]
         h_i = hi_ref[0, 0, :]                       # (B,) receivers/lanes
-        h_j = hj_ref[0, 0, :]                       # (B,) sources/lanes
-        # tile (source sublane, receiver lane); dx = x_i - x_j
+        # stacked tile (F*B source sublanes, B receiver lanes); dx=x_i-x_j
         dx = []
-        r2 = jnp.zeros((BLOCK, BLOCK), jnp.float32)
+        r2 = jnp.zeros((_FAN * BLOCK, BLOCK), jnp.float32)
         for d in range(3):
-            dd = xi[d][None, :] - xj[d][:, None]
+            xjd = jnp.concatenate([xj[0, d][:, None] for xj in xj_refs],
+                                  axis=0)
+            dd = xi[d][None, :] - xjd
             dd = dd - boxsize * jnp.round(dd / boxsize)
             dd = dd / boxsize                        # box units
             dx.append(dd)
             r2 += dd * dd
-        hbar = 0.5 * (h_j[:, None] + h_i[None, :])
+        vj = jnp.concatenate(
+            [vj_refs[f][0, 0, :][:, None]
+             * (cand_ref[s, m * _FAN + f] >= 0).astype(jnp.float32)
+             for f in range(_FAN)], axis=0)
+        h_j = jnp.concatenate([hj[0, 0, :][:, None] for hj in hj_refs],
+                              axis=0)
+        hbar = 0.5 * (h_j + h_i[None, :])
         r = jnp.sqrt(r2)
-        mask = ((r2 < hbar * hbar) & (r2 > 0.0)
-                & (vj[:, None] > 0.5))
+        mask = (r2 < hbar * hbar) & (r2 > 0.0) & (vj > 0.5)
         u = jnp.where(mask, r / hbar, 1.0)
         wflat = _m4_flat(u) if kernel_kind == "m4" else _wc6_flat(u)
         w = jnp.where(mask, wflat, 0.0)
@@ -255,34 +281,66 @@ def wvt_displacement_pallas(pos_blocks, valid_blocks, h_blocks, cand, xi,
     """
     S, M = cand.shape
     f32 = jnp.float32
+    if M % _FAN:
+        pad = _FAN - M % _FAN
+        cand = jnp.concatenate(
+            [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
+        M += pad
     kern = partial(_displacement_kernel, kernel, float(boxsize))
 
     def imap_s(s, m, cand_ref):
         return (s, 0, 0)
 
-    def imap_cand(s, m, cand_ref):
-        return (jnp.maximum(cand_ref[s, m], 0), 0, 0)
+    def make_imap_cand(f):
+        def imap(s, m, cand_ref):
+            return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
+        return imap
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S, M),
-        in_specs=[
-            pl.BlockSpec((1, 3, BLOCK), imap_s),       # xi
-            pl.BlockSpec((1, 3, BLOCK), imap_cand),    # xj
-            pl.BlockSpec((1, 1, BLOCK), imap_cand),    # vj
-            pl.BlockSpec((1, 1, BLOCK), imap_cand),    # hj
-            pl.BlockSpec((1, 1, BLOCK), imap_s),       # hi
-        ],
+        grid=(S, M // _FAN),
+        in_specs=(
+            [pl.BlockSpec((1, 3, BLOCK), imap_s)]            # xi
+            + [pl.BlockSpec((1, 3, BLOCK), make_imap_cand(f))
+               for f in range(_FAN)]                         # xj
+            + [pl.BlockSpec((1, 1, BLOCK), make_imap_cand(f))
+               for f in range(_FAN)]                         # vj
+            + [pl.BlockSpec((1, 1, BLOCK), make_imap_cand(f))
+               for f in range(_FAN)]                         # hj
+            + [pl.BlockSpec((1, 1, BLOCK), imap_s)]          # hi
+        ),
         out_specs=[pl.BlockSpec((1, 3, BLOCK), imap_s)],
         scratch_shapes=[pltpu.VMEM((8, BLOCK), f32)],
     )
 
-    (out,) = pl.pallas_call(
-        kern, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((S, 3, BLOCK), f32)],
-        interpret=interpret,
-    )(cand.astype(jnp.int32), xi, pos_blocks, valid_blocks, h_blocks,
-      h_i.astype(f32).reshape(S, 1, BLOCK))
+    # chunk receiver rows so the candidate prefetch fits SMEM
+    sc = _row_chunks(S, M)
+    nchunk = -(-S // sc)
+    s_pad = nchunk * sc
+    cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
+        nchunk, sc, M)
+    xi_c = _pad_rows(xi, s_pad).reshape(nchunk, sc, 3, BLOCK)
+    hi_c = _pad_rows(h_i.astype(f32), s_pad).reshape(nchunk, sc, 1, BLOCK)
+
+    def run_chunk(chunk):
+        cand_k, xi_k, hi_k = chunk
+        args = ([cand_k, xi_k] + [pos_blocks] * _FAN
+                + [valid_blocks] * _FAN + [h_blocks] * _FAN + [hi_k])
+        (o,) = pl.pallas_call(
+            kern, grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(sc, M // _FAN),
+                in_specs=grid_spec.in_specs,
+                out_specs=grid_spec.out_specs,
+                scratch_shapes=grid_spec.scratch_shapes,
+            ),
+            out_shape=[jax.ShapeDtypeStruct((sc, 3, BLOCK), f32)],
+            interpret=interpret,
+        )(*args)
+        return o
+
+    out = jax.lax.map(run_chunk, (cand_c, xi_c, hi_c))
+    out = out.reshape(-1, 3, BLOCK)[:S]
     return out.transpose(0, 2, 1) * step  # (S, B, 3)
 
 
@@ -341,20 +399,40 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
         scratch_shapes=[pltpu.VMEM((8, BLOCK), f32)],
     )
 
-    # flat per-block arrays ride as (S, 1, B): Mosaic requires the last two
-    # block dims be (8k, 128m) or match the array dims
-    out_shape = [jax.ShapeDtypeStruct((S, 1, BLOCK), f32)
+    # chunk receiver rows so the candidate prefetch fits SMEM
+    sc = _row_chunks(S, M)
+    nchunk = -(-S // sc)
+    s_pad = nchunk * sc
+    cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
+        nchunk, sc, M)
+    xi_c = _pad_rows(xi, s_pad).reshape(nchunk, sc, 3, BLOCK)
+    h0_c = _pad_rows(h0.astype(f32), s_pad).reshape(nchunk, sc, 1, BLOCK)
+    cap_c = _pad_rows(cap.astype(f32), s_pad).reshape(nchunk, sc, 1,
+                                                      BLOCK)
+
+    # flat per-block arrays ride as (S_c, 1, B): Mosaic requires the last
+    # two block dims be (8k, 128m) or match the array dims
+    out_shape = [jax.ShapeDtypeStruct((sc, 1, BLOCK), f32)
                  for _ in range(5)]
-    args = ([cand.astype(jnp.int32), xi]
-            + [pos_blocks] * _FAN + [valid_blocks] * _FAN
-            + [h0.astype(f32).reshape(S, 1, BLOCK),
-               cap.astype(f32).reshape(S, 1, BLOCK)])
-    rho, h, vf, wk, done_f = pl.pallas_call(
-        kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
-    rho, h, vf, wk, done_f = (a.reshape(S, BLOCK)
-                              for a in (rho, h, vf, wk, done_f))
+
+    def run_chunk(chunk):
+        cand_k, xi_k, h0_k, cap_k = chunk
+        args = ([cand_k, xi_k]
+                + [pos_blocks] * _FAN + [valid_blocks] * _FAN
+                + [h0_k, cap_k])
+        return pl.pallas_call(
+            kern, grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(sc, n_sweeps, M // _FAN),
+                in_specs=grid_spec.in_specs,
+                out_specs=grid_spec.out_specs,
+                scratch_shapes=grid_spec.scratch_shapes,
+            ), out_shape=out_shape, interpret=interpret,
+        )(*args)
+
+    outs = jax.lax.map(run_chunk, (cand_c, xi_c, h0_c, cap_c))
+    rho, h, vf, wk, done_f = (a.reshape(-1, BLOCK)[:S]
+                              for a in outs)
 
     done = done_f > 0.5
     saturated = (~done) | (h >= cap * 0.999)
