@@ -83,7 +83,7 @@ def _m4_w_dw(r, h):
     return w, dw
 
 
-_FAN = 4  # candidate blocks streamed per grid step (amortises step cost)
+_FAN = 8  # candidate blocks streamed per grid step (amortises step cost)
 
 
 def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
