@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as const
 from .blocks import BLOCK
 
-_SWEEPS = 12  # Newton/bisection sweeps (warm starts converge in <= ~6)
+_SWEEPS = 8  # Newton/bisection sweeps (warm starts converge in <= ~4;
+#              unconverged lanes re-enter via the saturation retry loop)
 _SMEM_BUDGET = 1 << 19  # candidate lists ride in SMEM (~1MB): chunk rows
 
 
