@@ -118,14 +118,27 @@ def solve_density(bi: BlockIndex, sel: BlockSelection, hsml0, h_cap,
     w_fn, dw_fn, _ = kernel_fns(kernel)
     nngbdev = const.NNGBDEV
     ids_c, cand_c = _chunked(sel)
-    h0_b = hsml0.reshape(-1, BLOCK)
-    cap_b = h_cap.reshape(-1, BLOCK)
+    # hsml0/h_cap may be (P,) global sorted layout or (S, B) receiver rows
+    # (the sharded path passes rows so receiver-only arrays never need an
+    # all_gather)
+    s = sel.ids.shape[0]
+
+    def rows(x):
+        if x.ndim == 2 and x.shape[0] == s:
+            r = x
+        else:
+            r = x.reshape(-1, BLOCK)[jnp.maximum(sel.ids, 0)]
+        pad = ids_c.size - s
+        if pad:
+            r = jnp.concatenate([r, jnp.zeros((pad, BLOCK), r.dtype)])
+        return r.reshape(-1, _G, BLOCK)
+
+    h0_c = rows(hsml0)
+    cap_c = rows(h_cap)
 
     def chunk_fn(args):
-        ids, cidx = args
+        ids, cidx, h0, cap = args
         xi, xj, vj, _, _ = _gather(bi, ids, cidx)
-        h0 = h0_b[jnp.maximum(ids, 0)]
-        cap = cap_b[jnp.maximum(ids, 0)]
         r = jnp.sqrt(_r2(xi, xj, boxsize))               # (G,B,MB)
         vjf = vj[:, None, :].astype(r.dtype)
 
@@ -164,7 +177,9 @@ def solve_density(bi: BlockIndex, sel: BlockSelection, hsml0, h_cap,
             return (~jnp.all(done)) & (it < max_iter)
 
         h = jnp.minimum(h0, cap)
-        state = (0, h, jnp.zeros_like(h), cap, jnp.zeros(h.shape, bool))
+        # init `done` as h<0 (all False) rather than jnp.zeros: under
+        # shard_map the carry must share h's varying-manual-axes type
+        state = (0, h, jnp.zeros_like(h), cap, h < 0)
         _, h, _, _, done = jax.lax.while_loop(cond, body, state)
 
         wk_ngb, rho, drho = sums(h)
@@ -175,9 +190,8 @@ def solve_density(bi: BlockIndex, sel: BlockSelection, hsml0, h_cap,
         saturated = (~done) | (h >= cap * 0.999)
         return rho, h, var_fac, wk_ngb, done, saturated
 
-    out = jax.lax.map(chunk_fn, (ids_c, cand_c))
-    s = sel.ids.shape[0] * BLOCK
-    return DensityResult(*[o.reshape(-1)[:s] for o in out])
+    out = jax.lax.map(chunk_fn, (ids_c, cand_c, h0_c, cap_c))
+    return DensityResult(*[o.reshape(-1)[: s * BLOCK] for o in out])
 
 
 @partial(jax.jit, static_argnames=("kernel",))

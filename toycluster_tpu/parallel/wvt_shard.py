@@ -1,0 +1,270 @@
+"""Sharded production WVT iteration: the block-sparse engine under
+`shard_map` over a 1-D device mesh.
+
+This is the real multi-chip path (not a toy): each shard owns a contiguous
+range of Hilbert-sorted particle blocks and runs the full production
+iteration — block bboxes, candidate search, adaptive-hsml SPH density
+solve (pair_ops.solve_density, the sph.c:80-214 contract), error stats,
+metric renormalisation, and the kernel-weighted WVT displacement
+(wvt_relax.c:126-171) — with collectives where the reference used shared
+memory:
+
+* `all_gather` — source positions + block bboxes/radii + source metric
+  hsml ride ICI (the analogue of the shared `P[]` array and of the tree
+  gather, tree.c:25-111);
+* `psum`      — metric-volume renormalisation and mean-error reductions
+  (wvt_relax.c:73-124);
+* `pmax`      — max density error and candidate-overflow indicator.
+
+Receiver-side arrays (h0/cap rows, candidate lists, accumulators) stay
+shard-local; only O(N) source data is replicated per chip, which holds to
+~1e8 particles in 16 GB HBM (1e8 f32 pos = 1.2 GB).  A ppermute ring
+exchange that bounds memory at O(N/D) is the documented growth path.
+
+Static-shape notes (SPMD has no host retry loop): the candidate list
+width `max_cand` is fixed per compile; overflow is *reported* (pmax'd
+count excess) rather than retried, and saturated hsml lanes keep their
+capped value (the NGBMAX=2360 cap plays the same role in the reference,
+globals.h:50).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from .. import constants as const
+from ..ops import pair_ops
+from ..ops.blocks import BLOCK, BlockIndex, _interval_dist2
+from ..ops.keys import hilbert_order
+from ..particles import HaloArrays
+from ..models.sph import global_density_model
+
+_CAP_FACTOR = 1.35   # candidate-radius margin over the warm-start hsml
+_CAND_CHUNK = 64     # receiver blocks per candidate-sweep chunk
+
+
+class ShardStepResult(NamedTuple):
+    pos: jnp.ndarray        # (N,3) new positions, original order
+    rho: jnp.ndarray        # (N,) SPH density
+    hsml: jnp.ndarray       # (N,) solved smoothing length (warm start)
+    err_mean: jnp.ndarray   # () mean |rho-rho_model|/rho_model
+    err_max: jnp.ndarray    # ()
+    n_saturated: jnp.ndarray  # () lanes that hit the hsml cap
+    cand_overflow: jnp.ndarray  # () max candidate-count excess (<=0 ok)
+
+
+def _local_candidates(lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize,
+                      max_cand):
+    """Per local receiver block, global candidate-block ids within
+    max(rad_i, (rad_i+rad_j)/2) — the union of the density gather range
+    (radius_i, tree.c:25) and the WVT symmetric pair range
+    ((h_i+h_j)/2, wvt_relax.c:158) so one list serves both passes."""
+    nb = lo_all.shape[0]
+    nbl = lo_l.shape[0]
+    nchunk = -(-nbl // _CAND_CHUNK)
+    padb = nchunk * _CAND_CHUNK - nbl
+    lo_c = jnp.concatenate([lo_l, jnp.broadcast_to(lo_l[-1], (padb, 3))])
+    hi_c = jnp.concatenate([hi_l, jnp.broadcast_to(hi_l[-1], (padb, 3))])
+    rad_c = jnp.concatenate([rad_l, jnp.zeros((padb,), rad_l.dtype)])
+
+    def chunk_fn(args):
+        lo_i, hi_i, rad_i = args
+        d2 = _interval_dist2(lo_i[:, None, :], hi_i[:, None, :],
+                             lo_all[None], hi_all[None], boxsize)
+        rng = jnp.maximum(rad_i[:, None],
+                          0.5 * (rad_i[:, None] + rad_all[None, :]))
+        hit = d2 <= rng * rng
+        ids = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), hit.shape)
+        idx = jnp.sort(jnp.where(hit, ids, nb), axis=1)[:, :max_cand]
+        if idx.shape[1] < max_cand:
+            idx = jnp.pad(idx, ((0, 0), (0, max_cand - idx.shape[1])),
+                          constant_values=nb)
+        count = hit.sum(axis=1)
+        return (jnp.where(idx >= nb, -1, idx).astype(jnp.int32), count)
+
+    idx, count = jax.lax.map(
+        chunk_fn, (lo_c.reshape(nchunk, _CAND_CHUNK, 3),
+                   hi_c.reshape(nchunk, _CAND_CHUNK, 3),
+                   rad_c.reshape(nchunk, _CAND_CHUNK)))
+    idx = idx.reshape(-1, max_cand)[:nbl]
+    count = count.reshape(-1)[:nbl]
+    return idx, jnp.maximum(count.max() - max_cand, -1)
+
+
+def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
+                          boxsize: float, mpart: float, desnngb: int,
+                          kernel: str = "wc6", max_cand: int = 256,
+                          cool_core=None):
+    """Build the jittable sharded iteration.
+
+    Returns `step_fn(pos, hsml_prev, step) -> ShardStepResult` operating on
+    (N,3)/(N,) arrays where N = n_real padded up to a multiple of
+    BLOCK * mesh size (padding repeats real particles and is masked out of
+    every pair sum and reduction).
+    """
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def body(pos_l, hprev_l, valid_l, step):
+        nbl = pos_l.shape[0] // BLOCK
+        ax = jax.lax.axis_index(axis)
+
+        # model-density quantities (replicated halo tables, local eval)
+        rho_model_l = global_density_model(pos_l, ha, boxsize, cool_core)
+        h0_model_l = (desnngb * mpart / rho_model_l
+                      / const.FOURPITHIRD) ** (1.0 / 3.0)
+        h_guess_l = jnp.where(hprev_l > 0, hprev_l, h0_model_l)
+        cap_l = jnp.minimum(jnp.maximum(h_guess_l, h0_model_l)
+                            * _CAP_FACTOR, boxsize / 3.0)
+
+        # WVT metric hsml, global volume renorm (wvt_relax.c:108-124)
+        hm_l = h0_model_l
+        v_sum = jax.lax.psum((jnp.where(valid_l, hm_l, 0.0) ** 3).sum(),
+                             axis)
+        hm_l = hm_l * (desnngb / v_sum / const.FOURPITHIRD) ** (1.0 / 3.0)
+
+        # local block bboxes + combined search radii
+        blocks_l = pos_l.reshape(nbl, BLOCK, 3)
+        lo_l = blocks_l.min(axis=1)
+        hi_l = blocks_l.max(axis=1)
+        rad_part = jnp.maximum(cap_l, hm_l * boxsize)
+        rad_l = rad_part.reshape(nbl, BLOCK).max(axis=1)
+
+        # gather the source side over ICI
+        pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
+        valid_all = jax.lax.all_gather(valid_l, axis, tiled=True)
+        hm_all = jax.lax.all_gather(hm_l, axis, tiled=True)
+        lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
+        hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
+        rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
+
+        cand, overflow = _local_candidates(
+            lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize, max_cand)
+        overflow = jax.lax.pmax(overflow, axis)
+
+        dummy3 = jnp.zeros((1, 3), pos_l.dtype)
+        bi = BlockIndex(order=jnp.arange(pos_all.shape[0],
+                                         dtype=jnp.int32),
+                        pos=pos_all, valid=valid_all, bb_lo=lo_all,
+                        bb_hi=hi_all, sb_lo=dummy3, sb_hi=dummy3)
+        sel = pair_ops.BlockSelection(
+            ids=ax.astype(jnp.int32) * nbl
+            + jnp.arange(nbl, dtype=jnp.int32), cand=cand)
+
+        # SPH density + adaptive hsml (receiver rows stay shard-local)
+        res = pair_ops.solve_density(
+            bi, sel, h_guess_l.reshape(nbl, BLOCK),
+            cap_l.reshape(nbl, BLOCK), mpart, boxsize, kernel=kernel,
+            desnngb=desnngb)
+        n_sat = jax.lax.psum(
+            jnp.where(valid_l, res.saturated, False).sum(), axis)
+
+        # error stats vs the model (wvt_relax.c:74-87)
+        err = jnp.abs(res.rho - rho_model_l) / rho_model_l
+        err = jnp.where(valid_l, err, 0.0)
+        err_max = jax.lax.pmax(err.max(), axis)
+        err_mean = (jax.lax.psum(err.sum(), axis)
+                    / jax.lax.psum(valid_l.sum().astype(err.dtype), axis))
+
+        # displacement pass reusing the same candidate lists
+        delta = pair_ops.wvt_displacement(bi, sel, hm_all, step, boxsize,
+                                          kernel=kernel)
+        new_pos = pos_l + delta * boxsize
+        new_pos = new_pos - jnp.floor(new_pos / boxsize) * boxsize
+
+        return (new_pos, res.rho, res.hsml, err_mean, err_max,
+                n_sat, overflow)
+
+    sharded_body = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()))
+
+    @jax.jit
+    def step_fn(pos, hsml_prev, step):
+        n = pos.shape[0]
+        assert n % (BLOCK * n_dev) == 0, (
+            f"N={n} must be a multiple of BLOCK*n_devices="
+            f"{BLOCK * n_dev}; pad with pad_for_mesh()")
+        order = hilbert_order(pos, boxsize)
+        pos_s = pos[order]
+        hprev_s = hsml_prev[order]
+        valid_s = order < n_real
+        out = sharded_body(pos_s, hprev_s, valid_s,
+                           jnp.float32(step))
+        new_pos_s, rho_s, h_s = out[:3]
+        inv = jnp.zeros((n,), order.dtype).at[order].set(
+            jnp.arange(n, dtype=order.dtype))
+        return ShardStepResult(
+            pos=new_pos_s[inv], rho=rho_s[inv], hsml=h_s[inv],
+            err_mean=out[3], err_max=out[4], n_saturated=out[5],
+            cand_overflow=out[6])
+
+    return step_fn
+
+
+def pad_for_mesh(pos, n_dev):
+    """Pad (N,3) positions (repeating the last particle) up to a multiple
+    of BLOCK * n_dev; returns (padded_pos, n_real)."""
+    n = pos.shape[0]
+    q = BLOCK * n_dev
+    n_pad = -(-n // q) * q
+    if n_pad > n:
+        pos = jnp.concatenate(
+            [pos, jnp.broadcast_to(pos[-1], (n_pad - n, 3))])
+    return pos, n
+
+
+def shard_array(mesh, x):
+    """Place an array with its leading axis sharded over the mesh."""
+    return jax.device_put(
+        x, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+
+def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
+                       kernel="wc6", max_cand=256, step=0.0085,
+                       max_iter=64, err_diff_limit=0.01, cool_core=None,
+                       log=None):
+    """Full multi-chip WVT relaxation loop: the sharded iteration under the
+    reference's host-side early-stop / step-shrink control flow
+    (wvt_relax.c:94-101)."""
+    import math
+
+    pos, n_real = pad_for_mesh(pos_gas, mesh.devices.size)
+    pos = shard_array(mesh, pos)
+    hsml = shard_array(mesh, jnp.zeros((pos.shape[0],), jnp.float32))
+    step_fn = sharded_wvt_iteration(
+        mesh, ha, n_real=n_real, boxsize=boxsize, mpart=mpart,
+        desnngb=desnngb, kernel=kernel, max_cand=max_cand,
+        cool_core=cool_core)
+
+    err_last = math.inf
+    err_diff_last = math.inf
+    for it in range(max_iter + 1):
+        out = step_fn(pos, hsml, step)
+        err_mean = float(out.err_mean)
+        err_diff = (err_last - err_mean) / err_mean
+        if log:
+            log("wvt_shard", it=it, err_max=round(float(out.err_max), 4),
+                err_mean=round(err_mean, 5), err_diff=round(err_diff, 5),
+                step=step, overflow=int(out.cand_overflow))
+        if err_diff < err_diff_limit and it > 25:
+            break
+        if err_diff < 0 and err_diff_last < 0 and it > 10:
+            break
+        if err_diff < 0.01 and it > 1:
+            step *= 0.8
+        err_last = err_mean
+        err_diff_last = err_diff
+        pos, hsml = out.pos, out.hsml
+    return out.pos[:n_real], out.rho[:n_real], out.hsml[:n_real]
