@@ -78,6 +78,51 @@ def test_pallas_matches_xla_solver(setup):
     assert np.abs(wk_p - DESNNGB).max() < 0.05 + 1e-3
 
 
+def test_fused_kernel_matches_xla(setup):
+    """The v2 fused kernel (VMEM-cached candidates, in-kernel Newton
+    while_loop, displacement pass sharing the cache) must reproduce both
+    the density solve and the displacement of the XLA operators."""
+    from toycluster_tpu.ops.pallas_pair import fused_wvt_pallas
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    sel = pair_ops.full_selection(bi, cand.idx)
+    res = pair_ops.solve_density(bi, sel, h0s, cap, 1.0, BOX,
+                                 kernel="wc6", desnngb=DESNNGB,
+                                 max_iter=24)
+    h_box = h0s / BOX
+    hm_sorted = jnp.where(bi.valid, h_box, 0.0)
+    d_xla = pair_ops.wvt_displacement(bi, sel, h_box, 1.0, BOX)
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    hm_blocks = hm_sorted.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+    h0_b = h0s.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    hm_b = h_box.reshape(nb, blk.BLOCK)
+
+    rho, h, vf, wk, done, delta = fused_wvt_pallas(
+        pos_t, hm_blocks, cand.idx, cand.count, pos_t, h0_b, cap_b,
+        hm_b, 1.0, BOX, kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+        interpret=True)
+
+    v = np.asarray(bi.valid)
+    done_x = np.asarray(res.done) & v
+    done_p = np.asarray(done).reshape(-1) & v
+    assert done_p.sum() >= 0.97 * done_x.sum()
+    both = done_x & done_p
+    np.testing.assert_allclose(np.asarray(h).reshape(-1)[both],
+                               np.asarray(res.hsml)[both], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(rho).reshape(-1)[both],
+                               np.asarray(res.rho)[both], rtol=2e-3)
+    wk_p = np.asarray(wk).reshape(-1)[both]
+    assert np.abs(wk_p - DESNNGB).max() < 0.05 + 1e-3
+
+    a = np.asarray(d_xla)[v]
+    b = np.asarray(delta).reshape(-1, 3)[v]
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6 * scale)
+
+
 def test_pallas_displacement_matches_xla(setup):
     from toycluster_tpu.ops.pallas_pair import wvt_displacement_pallas
 

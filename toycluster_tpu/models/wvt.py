@@ -17,8 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as const
-from ..ops import blocks as blk
-from ..ops import pair_ops
 from ..particles import HaloArrays, Particles
 from ..scene import Scene
 from ..utils.logging import stage_log
@@ -26,7 +24,15 @@ from . import sph as sph_mod
 
 NUMITER = 64            # wvt_relax.c:7
 ERRDIFF_LIMIT = 0.01    # wvt_relax.c:8
-TREEBUILDFREQUENCY = 1  # wvt_relax.c:6
+# The reference rebuilds its tree every iteration (TREEBUILDFREQUENCY=1,
+# wvt_relax.c:6) because its neighbour lists are exact-radius.  Our
+# candidate lists carry >=20% radius slack (sph._CAP_FACTOR, _SYM_MARGIN)
+# while particles move <~1% of h per step, so the block/candidate
+# structure is reused across iterations; correctness is guarded by the
+# hsml cap: a particle whose h outgrows the build-time search radius is
+# flagged `saturated`, which forces a rebuild.
+REBUILD_EVERY = 8
+_SYM_MARGIN = 1.1       # displacement-radius slack for inter-build drift
 
 
 @jax.jit
@@ -94,14 +100,89 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         it0 = int(ck["it"]) + 1
         log("wvt_resume", it=it0, step=step)
 
-    for it in range(it0, max_iter + 1):
-        if it % TREEBUILDFREQUENCY == 0:
-            parts = sph_mod.find_sph_quantities(scene, ha, parts)
+    state = None
+    its_since_build = 0
+    identity = None
 
+    for it in range(it0, max_iter + 1):
+        # --- fused iteration: ONE neighbour structure serves the density
+        # solve AND the displacement pass (the reference builds one tree
+        # per iteration and walks it twice, wvt_relax.c:66-171), and the
+        # structure itself is reused across REBUILD_EVERY iterations ---
         pos_gas = parts.pos[:n_gas]
         rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
                                                  cool_core)
-        err_max, err_mean = _error_stats(parts.rho, rho_model)
+        h_box = _metric_hsml(rho_model, mpart, desnngb)
+        h0_model = (desnngb * mpart / rho_model
+                    / const.FOURPITHIRD) ** (1.0 / 3.0)
+        h_prev = parts.hsml[:n_gas]
+        h0 = jnp.where(h_prev > 0, h_prev, h0_model)
+        if its_since_build >= REBUILD_EVERY:
+            state = None
+
+        cap_factor = sph_mod._CAP_FACTOR
+        for attempt in range(sph_mod._MAX_REBUILDS + 1):
+            if state is None:
+                h_cap_gas = jnp.minimum(
+                    jnp.maximum(h0, h0_model) * cap_factor,
+                    boxsize / 3.0)
+                state = sph_mod.build_neighbours(
+                    pos_gas, h_cap_gas, boxsize,
+                    radius_sym_gas=h_box * boxsize * _SYM_MARGIN)
+                order = state.index.order
+                # adopt the sorted layout once per build
+                # (peano.c:85-126 permutation analogue)
+                parts = sph_mod.permute_gas(parts, order)
+                pos_gas = parts.pos[:n_gas]
+                rho_model = rho_model[order]
+                h_box = h_box[order]
+                h0_model = h0_model[order]
+                h0 = h0[order]
+                identity = jnp.arange(n_gas, dtype=order.dtype)
+                state = state._replace(
+                    index=state.index._replace(order=identity),
+                    sels=tuple(sph_mod.classed_selections(state)))
+                its_since_build = 0
+            else:
+                # refresh the cached structure with the moved positions
+                # (order, caps, candidates stay — slack covers the drift)
+                bi0 = state.index
+                pad = bi0.n_padded - n_gas
+                spos = (jnp.concatenate(
+                    [pos_gas, jnp.broadcast_to(pos_gas[-1], (pad, 3))])
+                    if pad else pos_gas)
+                state = state._replace(index=bi0._replace(pos=spos))
+
+            bi = state.index
+            h0_sorted = sph_mod._pad_sorted(h0, identity, bi.n_padded)
+            hm_sorted = sph_mod._pad_sorted(h_box, identity, bi.n_padded)
+            res, delta_sorted = sph_mod.fused_pass(
+                state, h0_sorted, hm_sorted, mpart, boxsize,
+                kernel=cfg.sph_kernel, desnngb=desnngb)
+            still_growable = state.h_cap < (boxsize / 3.0) * 0.999
+            n_sat = int((res.saturated & still_growable)[:n_gas].sum())
+            if n_sat == 0:
+                break
+            # saturation: the build-time search radius no longer covers
+            # the needed h — rebuild (with a grown cap after the first
+            # rebuilt attempt)
+            h0 = res.hsml[:n_gas]
+            if its_since_build == 0:
+                cap_factor *= 1.6
+            state = None
+        else:
+            raise RuntimeError(
+                f"hsml solve saturated for {n_sat} particles after "
+                f"{sph_mod._MAX_REBUILDS} rebuilds")
+        its_since_build += 1
+
+        rho_model_s = rho_model
+        parts = parts._replace(
+            rho=res.rho[:n_gas], hsml=res.hsml[:n_gas],
+            var_hsml_fac=res.var_hsml_fac[:n_gas],
+            rho_model=rho_model_s)
+
+        err_max, err_mean = _error_stats(parts.rho, rho_model_s)
         err_max = float(err_max)
         err_mean = float(err_mean)
         err_diff = (err_last - err_mean) / err_mean
@@ -110,7 +191,9 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             err_mean=round(err_mean, 5), err_diff=round(err_diff, 5),
             step=step)
 
-        # stopping rules (wvt_relax.c:94-101)
+        # stopping rules, then the step factor — the displacement is
+        # applied only when the loop continues, with the post-shrink step
+        # (wvt_relax.c:94-101 ordering)
         if err_diff < err_limit and it > 25:
             break
         if err_diff < 0 and err_diff_last < 0 and it > 10:
@@ -120,43 +203,8 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         err_last = err_mean
         err_diff_last = err_diff
 
-        parts = parts._replace(rho_model=rho_model)
-        h_box = _metric_hsml(rho_model, mpart, desnngb)
-
-        # displacement pass with gather candidates at radius h_i — exactly
-        # the reference's tree-search radius (wvt_relax.c:135); pairs with
-        # h_i < r < hbar_ij are dropped on both sides of the parity line
-        # (their WC6 weight is (1-u)^8-suppressed)
-        state = sph_mod.build_neighbours(pos_gas, h_box * boxsize, boxsize)
-        bi = state.index
-        h_sorted = sph_mod._pad_sorted(h_box, bi.order, bi.n_padded)
-
-        if sph_mod._engine() == "pallas":
-            from ..ops.pallas_pair import wvt_displacement_pallas
-            nb = bi.n_blocks
-            pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
-            valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(
-                jnp.float32)
-            h_b = h_sorted.reshape(nb, blk.BLOCK)
-            h_b3 = h_sorted.reshape(nb, 1, blk.BLOCK)
-
-            def disp_class(sel, m):
-                idc = jnp.maximum(sel.ids, 0)
-                out = wvt_displacement_pallas(
-                    pos_t, valid_t, h_b3, sel.cand, pos_t[idc], h_b[idc],
-                    float(step), float(boxsize), kernel=cfg.sph_kernel)
-                return (out.reshape(-1, 3),)
-        else:
-            def disp_class(sel, m):
-                return (pair_ops.wvt_displacement(
-                    bi, sel, h_sorted, step, boxsize,
-                    kernel=cfg.sph_kernel),)
-
-        (delta_sorted,) = sph_mod.run_classed(state, disp_class)
-        delta = jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(
-            delta_sorted[:n_gas])
-
-        new_pos = _move(pos_gas, delta, boxsize)
+        delta = delta_sorted[:n_gas] * step
+        new_pos = _move(parts.pos[:n_gas], delta, boxsize)
         parts = parts._replace(
             pos=parts.pos.at[:n_gas].set(new_pos))
 

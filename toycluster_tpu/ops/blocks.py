@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BLOCK = 128        # particles per block (B)
-SUPER = 32         # blocks per superblock (S)
+SUPER = 8          # blocks per superblock (S): small superblocks keep the
+#                    level-2 candidate test/compaction width tight
 
 
 class BlockIndex(NamedTuple):
@@ -104,14 +105,29 @@ class CandidateList(NamedTuple):
 _CAND_CHUNK = 512  # receiver blocks per chunk to bound temporaries
 
 
+def _compact_left(hitb, cand, nb, max_cand):
+    """Left-compaction of the hit candidate ids into a fixed-width sorted
+    list.  jnp.sort beats a cumsum+scatter here — XLA scatter is serial
+    per row on TPU (measured 2x slower end-to-end)."""
+    idx = jnp.sort(jnp.where(hitb, cand, nb), axis=1)[:, :max_cand]
+    if idx.shape[1] < max_cand:  # tiny problems: fewer blocks than M
+        idx = jnp.pad(idx, ((0, 0), (0, max_cand - idx.shape[1])),
+                      constant_values=nb)
+    return idx
+
+
 @partial(jax.jit, static_argnames=("max_cand", "max_super", "symmetric"))
 def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
-                    max_super: int | None = None, symmetric: bool = False
-                    ) -> CandidateList:
+                    max_super: int | None = None, symmetric: bool = False,
+                    radius_sym=None) -> CandidateList:
     """Per receiver block, the blocks whose bbox lies within its search
     radius (min-image).  `radius` is (nb,) per-block; with
     `symmetric=True` the pair range is (radius_i + radius_j)/2 (the WVT
     displacement semantics, wvt_relax.c:158), otherwise radius_i (gather).
+    With `radius_sym` (nb,) given, the range is the *union*
+    max(radius_i, (radius_sym_i + radius_sym_j)/2) — one candidate list
+    serving both the density gather pass and the symmetric displacement
+    pass of a WVT iteration.
 
     Two-level sweep: superblock boxes first (O(nb*ns) tests), then the
     blocks of the hit superblocks, chunked over receiver blocks to keep
@@ -122,32 +138,52 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
     nb = bi.n_blocks
     ns = bi.sb_lo.shape[0]
     if max_super is None:
-        # a superblock hit can carry as few as 1 block, so the superblock
-        # budget must scale with the candidate budget
-        max_super = min(ns, max(64, max_cand // 4))
+        # the superblock budget bounds the level-2 test/compaction width
+        # (ms*SUPER) — keep it tight, the overflow retry doubles max_cand
+        # (and with it this budget) when a dense receiver needs more
+        max_super = min(ns, max(64, max_cand // SUPER))
 
     # superblock radius: conservative per-superblock max of block radii
-    pad = jnp.full((ns * SUPER - nb,), 0.0, radius.dtype)
-    rad_blocks = jnp.concatenate([radius, pad])
+    def pad_sb(r):
+        pad = jnp.full((ns * SUPER - nb,), 0.0, r.dtype)
+        return jnp.concatenate([r, pad])
+
+    rad_blocks = pad_sb(radius)
     sb_rad = rad_blocks.reshape(ns, SUPER).max(axis=1)
+    if radius_sym is not None:
+        sym_blocks = pad_sb(radius_sym)
+        sb_sym = sym_blocks.reshape(ns, SUPER).max(axis=1)
 
     nchunk = -(-nb // _CAND_CHUNK)
     pad_blocks = nchunk * _CAND_CHUNK - nb
-    lo_pad = jnp.concatenate(
-        [bi.bb_lo, jnp.broadcast_to(bi.bb_lo[-1], (pad_blocks, 3))])
-    hi_pad = jnp.concatenate(
-        [bi.bb_hi, jnp.broadcast_to(bi.bb_hi[-1], (pad_blocks, 3))])
-    rad_pad = jnp.concatenate([radius, jnp.zeros((pad_blocks,),
-                                                 radius.dtype)])
+
+    def pad_rc(x, fill=None):
+        filler = (jnp.broadcast_to(x[-1], (pad_blocks,) + x.shape[1:])
+                  if fill is None else
+                  jnp.zeros((pad_blocks,) + x.shape[1:], x.dtype))
+        return jnp.concatenate([x, filler])
+
+    lo_pad = pad_rc(bi.bb_lo)
+    hi_pad = pad_rc(bi.bb_hi)
+    rad_pad = pad_rc(radius, fill=0)
+    sym_pad = (pad_rc(radius_sym, fill=0) if radius_sym is not None
+               else rad_pad)
+
+    def rng_fn(rad_i, sym_i, rad_j, sym_j):
+        if radius_sym is not None:
+            return jnp.maximum(rad_i, 0.5 * (sym_i + sym_j))
+        if symmetric:
+            return 0.5 * (rad_i + rad_j)
+        return rad_i
 
     def chunk_fn(args):
-        lo_i, hi_i, rad_i = args   # (C,3),(C,3),(C,)
+        lo_i, hi_i, rad_i, sym_i = args   # (C,3),(C,3),(C,),(C,)
         # level 1: chunk x superblocks
         d2 = _interval_dist2(lo_i[:, None, :], hi_i[:, None, :],
                              bi.sb_lo[None, :, :], bi.sb_hi[None, :, :],
                              boxsize)                    # (C, ns)
-        rng = (0.5 * (rad_i[:, None] + sb_rad[None, :]) if symmetric
-               else rad_i[:, None])
+        rng = rng_fn(rad_i[:, None], sym_i[:, None], sb_rad[None, :],
+                     sb_sym[None, :] if radius_sym is not None else None)
         hit = d2 <= rng * rng
         sb_ids = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32),
                                   hit.shape)
@@ -163,13 +199,10 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
         cc = jnp.minimum(cand, nb - 1)
         d2b = _interval_dist2(lo_i[:, None, :], hi_i[:, None, :],
                               bi.bb_lo[cc], bi.bb_hi[cc], boxsize)
-        rngb = (0.5 * (rad_i[:, None] + rad_blocks[cc]) if symmetric
-                else rad_i[:, None])
+        rngb = rng_fn(rad_i[:, None], sym_i[:, None], rad_blocks[cc],
+                      sym_blocks[cc] if radius_sym is not None else None)
         hitb = (d2b <= rngb * rngb) & ok_sb & (cand < nb)
-        idx = jnp.sort(jnp.where(hitb, cand, nb), axis=1)[:, :max_cand]
-        if idx.shape[1] < max_cand:  # tiny problems: fewer blocks than M
-            idx = jnp.pad(idx, ((0, 0), (0, max_cand - idx.shape[1])),
-                          constant_values=nb)
+        idx = _compact_left(hitb, cand, nb, max_cand)
         count = hitb.sum(axis=1)
         return (jnp.where(idx >= nb, -1, idx).astype(jnp.int32),
                 count, jnp.maximum(count.max() - max_cand, sb_over))
@@ -177,7 +210,8 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
     idx, count, over = jax.lax.map(
         chunk_fn, (lo_pad.reshape(nchunk, _CAND_CHUNK, 3),
                    hi_pad.reshape(nchunk, _CAND_CHUNK, 3),
-                   rad_pad.reshape(nchunk, _CAND_CHUNK)))
+                   rad_pad.reshape(nchunk, _CAND_CHUNK),
+                   sym_pad.reshape(nchunk, _CAND_CHUNK)))
     return CandidateList(idx=idx.reshape(-1, max_cand)[:nb],
                          count=count.reshape(-1)[:nb],
                          overflow=over.max())

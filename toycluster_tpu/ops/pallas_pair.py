@@ -194,6 +194,300 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             done_ref[0, 0, :] = jnp.where(done | now_done, 1.0, 0.0)
 
 
+# -------------------------------------------------------------------------
+# fused WVT iteration kernel (v2): candidate blocks are DMA-streamed ONCE
+# into a VMEM scratch cache, then the whole adaptive-hsml Newton/bisection
+# solve runs as an in-kernel while_loop over the cached tiles (true
+# early-exit: converged receiver blocks stop sweeping at zero cost), and
+# the WVT displacement pass (wvt_relax.c:126-171) reuses the same cache —
+# one kernel, one candidate stream, no per-sweep HBM traffic or grid
+# overhead.  Receivers live on SUBLANES (column vectors), sources on
+# LANES, so cached (3,B) tiles are used without relayouts.
+# -------------------------------------------------------------------------
+
+def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
+                  cand_ref,                  # (S, M) scalar prefetch
+                  cnt_ref,                   # (S,) true candidate counts
+                  *rest):
+    # rest: 6 x receiver columns (1,B,1) [x0,x1,x2,h0,cap,hm_i],
+    #       F x pos (1,3,B), F x hm (1,1,B), out (1,B,8),
+    #       x0/x1/x2 scratch (M,B), hm scratch (M,B)
+    # NB receiver scalars ride as separate (B,1) columns — slicing lanes
+    # out of a packed (B,8) block gives lane-offset register layouts that
+    # Mosaic cannot legalize through the while_loop carry (scf.yield)
+    recv_refs = rest[:6]
+    pos_refs = rest[6:6 + _FAN]
+    hm_refs = rest[6 + _FAN:6 + 2 * _FAN]
+    out_ref = rest[6 + 2 * _FAN]
+    xsc = rest[6 + 2 * _FAN + 1:6 + 2 * _FAN + 4]
+    hsc = rest[6 + 2 * _FAN + 4]
+
+    s = pl.program_id(0)
+    m = pl.program_id(1)
+    n_m = pl.num_programs(1)
+    f32 = jnp.float32
+
+    # cache this fan of candidate tiles (aligned 8-row group stores);
+    # groups entirely past the true count are never read — skip the copy
+    @pl.when(m * _FAN < cnt_ref[s])
+    def _():
+        row = pl.multiple_of(m * _FAN, _FAN)
+        for d in range(3):
+            xsc[d][pl.ds(row, _FAN), :] = jnp.concatenate(
+                [pos_refs[f][0, d:d + 1, :] for f in range(_FAN)], axis=0)
+        hsc[pl.ds(row, _FAN), :] = jnp.concatenate(
+            [hm_refs[f][0, 0:1, :]
+             * (cand_ref[s, m * _FAN + f] >= 0).astype(f32)
+             for f in range(_FAN)], axis=0)
+
+    @pl.when((m == n_m - 1) & (cnt_ref[s] > 0))
+    def _():
+        xi = [recv_refs[d][0] for d in range(3)]      # (B,1) each
+        h0 = recv_refs[3][0]
+        cap = recv_refs[4][0]
+        hm_i = recv_refs[5][0]
+        # dynamic trip count: only the groups that hold real candidates
+        n_grp = (cnt_ref[s] + _FAN - 1) // _FAN
+
+        def pair_sums(h):
+            """Kernel-weight sums at h: per-lane factors (1/h powers, the
+            WC6 norm, the -22 of dW) are folded OUT of the pair loop —
+            the per-pair work is u, t-powers, two short Horner polys."""
+            inv_h = 1.0 / h
+            inv_h2 = inv_h * inv_h
+
+            def jbody(j, acc):
+                accw, accrdw = acc
+                jr = pl.multiple_of(j * _FAN, _FAN)
+                xd = [xsc[d][pl.ds(jr, _FAN), :] for d in range(3)]
+                hj = hsc[pl.ds(jr, _FAN), :]
+                for f in range(_FAN):
+                    r2 = jnp.zeros((BLOCK, BLOCK), f32)
+                    for d in range(3):
+                        dd = xi[d] - xd[d][f:f + 1, :]
+                        dd = dd - boxsize * jnp.round(dd / boxsize)
+                        r2 += dd * dd
+                    vj = (hj[f:f + 1, :] > 0).astype(f32)
+                    if kernel_kind == "m4":
+                        r = jnp.sqrt(r2)
+                        w, dw = _m4_w_dw(r, h)
+                        accw += (w * vj).sum(axis=1, keepdims=True)
+                        accrdw += (r * dw * vj).sum(axis=1,
+                                                    keepdims=True)
+                    else:
+                        u = jnp.sqrt(r2 * inv_h2)
+                        t = jnp.maximum(1.0 - u, 0.0) * vj
+                        t2 = t * t
+                        t4 = t2 * t2
+                        t7 = t4 * t2 * t
+                        wpoly = 1.0 + u * (8.0 + u * (25.0 + 32.0 * u))
+                        dpoly = u * u * (1.0 + u * (7.0 + 16.0 * u))
+                        accw += (t4 * t4 * wpoly).sum(axis=1,
+                                                      keepdims=True)
+                        accrdw += (t7 * dpoly).sum(axis=1, keepdims=True)
+                return accw, accrdw
+
+            zero = jnp.zeros((BLOCK, 1), f32)
+            aw, ardw = jax.lax.fori_loop(0, n_grp, jbody, (zero, zero))
+            if kernel_kind != "m4":
+                norm_h3 = (1365.0 / (64.0 * const.PI)) * inv_h * inv_h2
+                aw = aw * norm_h3
+                ardw = ardw * (-22.0 * norm_h3)
+            return aw, ardw
+
+        def newton(state):
+            # `done` rides as f32 0/1 — Mosaic cannot legalize i1 vectors
+            # through the while_loop carry (scf.yield); sums are carried
+            # so the post-loop record needs no extra pair pass (frozen
+            # lanes' sums were computed at their final h)
+            k, h, lo, hi, done, _, _ = state
+            sum_w, sum_rdw = pair_sums(h)
+            wk_ngb = const.FOURPITHIRD * h**3 * sum_w
+            rho = mpart * sum_w
+            drho = -mpart * (3.0 / h * sum_w + sum_rdw / h)
+            ngb_dev = jnp.abs(wk_ngb - desnngb)
+            now_done = ngb_dev < const.NNGBDEV
+            # guarded Newton + bisection on h^3 (sph.c:175-195)
+            omega = 1.0 + drho * h / (3.0 * jnp.maximum(rho, 1e-30))
+            fac = 1.0 - (wk_ngb - desnngb) / (
+                3.0 * jnp.maximum(wk_ngb, 1e-30) * omega)
+            fac = jnp.clip(fac, 1.0 / 1.24, 1.24)
+            hi_n = jnp.where(wk_ngb > desnngb, h, hi)
+            lo_n = jnp.where(wk_ngb < desnngb, h, lo)
+            h_bis = (0.5 * (lo_n**3 + hi_n**3)) ** (1.0 / 3.0)
+            h_new = jnp.where(ngb_dev < 0.5 * desnngb, h * fac, h_bis)
+            h_new = jnp.minimum(h_new, cap)
+            freeze = (done > 0.5) | now_done
+            return (k + 1, jnp.where(freeze, h, h_new), lo_n, hi_n,
+                    jnp.where(freeze, 1.0, 0.0).astype(f32),
+                    sum_w, sum_rdw)
+
+        def cond(state):
+            k, _, _, _, done = state[:5]
+            return (k < n_sweeps) & jnp.logical_not(jnp.all(done > 0.5))
+
+        h0c = jnp.minimum(h0, cap)
+        zero = jnp.zeros((BLOCK, 1), f32)
+        state = (0, h0c, zero, cap, zero, zero, zero)
+        _, h, _, _, done_f, sum_w, sum_rdw = jax.lax.while_loop(
+            cond, newton, state)
+        done = done_f > 0.5
+
+        # record at the solved h: every frozen lane's carried sums were
+        # computed at exactly its final h (unconverged lanes re-enter via
+        # the saturation retry, so their slight inconsistency is moot)
+        wk_ngb = const.FOURPITHIRD * h**3 * sum_w
+        rho = mpart * sum_w
+        drho = -mpart * (3.0 / h * sum_w + sum_rdw / h)
+        now_done = jnp.abs(wk_ngb - desnngb) < const.NNGBDEV
+        rho_out = rho
+        if kernel_kind == "wc6":  # Dehnen+12 (sph.c:202-210)
+            w0 = 1365.0 / (64.0 * const.PI) / (h * h * h)
+            rho_out = rho + (-0.0116 * (desnngb * 0.01) ** (-2.236)
+                             * mpart * w0)
+
+        # displacement pass over the same cache (metric hsml, box units);
+        # the per-lane factor hm_i and the kernel norm are applied after
+        # the loop
+        inv_box = 1.0 / boxsize
+
+        def dbody(j, acc):
+            jr = pl.multiple_of(j * _FAN, _FAN)
+            xd = [xsc[d][pl.ds(jr, _FAN), :] for d in range(3)]
+            hj = hsc[pl.ds(jr, _FAN), :]
+            for f in range(_FAN):
+                dx = []
+                r2 = jnp.zeros((BLOCK, BLOCK), f32)
+                for d in range(3):
+                    dd = xi[d] - xd[d][f:f + 1, :]
+                    dd = (dd - boxsize * jnp.round(dd * inv_box)) \
+                        * inv_box
+                    dx.append(dd)
+                    r2 += dd * dd
+                hmj = hj[f:f + 1, :]
+                hbar = 0.5 * (hm_i + hmj)
+                mask = (r2 < hbar * hbar) & (r2 > 0.0) & (hmj > 0.0)
+                r = jnp.sqrt(r2)
+                u = jnp.where(mask, r / hbar, 1.0)
+                if kernel_kind == "m4":
+                    wflat = _m4_flat(u)
+                else:  # WC6 shape without the norm (folded out)
+                    t = jnp.maximum(1.0 - u, 0.0)
+                    t2 = t * t
+                    t4 = t2 * t2
+                    wflat = t4 * t4 * (
+                        1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
+                w = jnp.where(mask, wflat, 0.0)
+                inv_r = jnp.where(mask, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+                coef = w * inv_r
+                acc = tuple(acc[d] + (coef * dx[d]).sum(axis=1,
+                                                        keepdims=True)
+                            for d in range(3))
+            return acc
+
+        zero3 = (zero, zero, zero)
+        delta = jax.lax.fori_loop(0, n_grp, dbody, zero3)
+        dnorm = hm_i * (1.0 if kernel_kind == "m4"
+                        else 1365.0 / (64.0 * const.PI))
+        delta = tuple(dnorm * delta[d] for d in range(3))
+
+        out_ref[0, :, 0:1] = rho_out
+        out_ref[0, :, 1:2] = h
+        out_ref[0, :, 2:3] = 1.0 / (
+            1.0 + h / (3.0 * jnp.maximum(rho, 1e-30)) * drho)
+        out_ref[0, :, 3:4] = wk_ngb
+        out_ref[0, :, 4:5] = jnp.where(done | now_done, 1.0, 0.0)
+        out_ref[0, :, 5:6] = delta[0]
+        out_ref[0, :, 6:7] = delta[1]
+        out_ref[0, :, 7:8] = delta[2]
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
+                          "mpart", "boxsize"))
+def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
+                     mpart, boxsize, *, kernel="wc6", desnngb=295,
+                     n_sweeps=16, interpret=False):
+    """Fused density-solve + WVT-displacement for one count class.
+
+    pos_blocks: (nb, 3, B) sorted coords; hm_blocks: (nb, 1, B) source
+    metric hsml in box units, 0 on invalid/padding lanes.
+    cand: (S, M) candidate ids (-1 padded); cnt: (S,) true candidate
+    counts (0 on padded receiver rows); xi: (S, 3, B) receiver coords;
+    h0, cap, hm_i: (S, B).
+    Returns (rho, hsml, var_fac, wk_ngb, done, delta) — delta is (S, B, 3)
+    in box units, WITHOUT the step factor (caller applies step after the
+    convergence decision, wvt_relax.c:100-101 ordering).
+    """
+    S, M = cand.shape
+    f32 = jnp.float32
+    if M % _FAN:
+        pad = _FAN - M % _FAN
+        cand = jnp.concatenate(
+            [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
+        M += pad
+
+    # receiver columns as SEPARATE (S, B, 1) arrays (canonical layouts —
+    # see the kernel note on while_loop carries)
+    xi_t = xi.transpose(0, 2, 1)
+    recvs = [xi_t[:, :, d:d + 1] for d in range(3)] + [
+        h0[..., None].astype(f32), cap[..., None].astype(f32),
+        hm_i[..., None].astype(f32)]
+
+    kern = partial(_fused_kernel, kernel, float(desnngb), float(mpart),
+                   float(boxsize), n_sweeps, M)
+
+    def imap_s(s, m, cand_ref, cnt_ref):
+        return (s, 0, 0)
+
+    def make_imap_cand(f):
+        def imap(s, m, cand_ref, cnt_ref):
+            return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
+        return imap
+
+    sc = _row_chunks(S, M)
+    nchunk = -(-S // sc)
+    s_pad = nchunk * sc
+    cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
+        nchunk, sc, M)
+    cnt_c = jnp.concatenate(
+        [cnt.astype(jnp.int32),
+         jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
+    recv_c = [_pad_rows(r, s_pad).reshape(nchunk, sc, BLOCK, 1)
+              for r in recvs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sc, M // _FAN),
+        in_specs=(
+            [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(6)]
+            + [pl.BlockSpec((1, 3, BLOCK), make_imap_cand(f))
+               for f in range(_FAN)]                              # xj
+            + [pl.BlockSpec((1, 1, BLOCK), make_imap_cand(f))
+               for f in range(_FAN)]                              # hm_j
+        ),
+        out_specs=[pl.BlockSpec((1, BLOCK, 8), imap_s)],
+        scratch_shapes=[pltpu.VMEM((M, BLOCK), f32) for _ in range(4)],
+    )
+
+    def run_chunk(chunk):
+        cand_k, cnt_k = chunk[0], chunk[1]
+        args = (list(chunk) + [pos_blocks] * _FAN
+                + [hm_blocks] * _FAN)
+        (o,) = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((sc, BLOCK, 8), f32)],
+            interpret=interpret,
+        )(*args)
+        return o
+
+    out = jax.lax.map(run_chunk, tuple([cand_c, cnt_c] + recv_c))
+    out = out.reshape(-1, BLOCK, 8)[:S]
+    rho, h, vf, wk, done_f = (out[:, :, k] for k in range(5))
+    delta = out[:, :, 5:8]
+    return rho, h, vf, wk, done_f > 0.5, delta
+
+
 def _wc6_flat(u):
     m = u < 1.0
     t = jnp.where(m, 1.0 - u, 0.0)
