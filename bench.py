@@ -17,7 +17,10 @@ import sys
 import time
 
 N_GAS = int(os.environ.get("BENCH_N_GAS", 1_000_000))
-ITERS = int(os.environ.get("BENCH_ITERS", 4))
+# 12 timed iterations: long enough that the per-rebuild cost (every
+# REBUILD_EVERY=8 iterations) is represented at its production duty
+# cycle — the reference's converged runs take 25-64 iterations
+ITERS = int(os.environ.get("BENCH_ITERS", 12))
 
 
 def main():

@@ -82,7 +82,6 @@ class NeighbourState(NamedTuple):
     cand: blk.CandidateList
     h_cap: jnp.ndarray     # (P,) padded sorted layout
     max_cand: int
-    sels: Optional[tuple] = None   # cached host-side class selections
 
 
 def _pad_sorted(x, order, n_padded, fill_last=True):
@@ -109,9 +108,11 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
     its tree the same way, wvt_relax.c:66-171)."""
     key = ("combined" if radius_sym_gas is not None
            else "sym" if symmetric else "gather",)
+    bi = blk.build_blocks(pos_gas, boxsize)
+    ns = bi.sb_lo.shape[0]
     if max_cand is None:
         max_cand = _LAST_MAX_CAND.get(key, 2048)
-    bi = blk.build_blocks(pos_gas, boxsize)
+    max_super = _LAST_MAX_CAND.get(key + ("sb",))
     h_cap = _pad_sorted(h_cap_gas, bi.order, bi.n_padded)
     radius = h_cap.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
     radius_sym = None
@@ -119,15 +120,29 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
         sym = _pad_sorted(radius_sym_gas, bi.order, bi.n_padded)
         radius_sym = sym.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
     while True:
+        ms = (min(max_super, ns) if max_super is not None
+              else blk.default_max_super(ns, max_cand))
         cand = blk.find_candidates(bi, radius, boxsize, max_cand=max_cand,
-                                   symmetric=symmetric,
+                                   max_super=ms, symmetric=symmetric,
                                    radius_sym=radius_sym)
-        if int(cand.overflow) <= 0:
+        sb_over = int(cand.sb_overflow)
+        if sb_over > 0:
+            # superblock budget too small (big-radius outskirt blocks):
+            # grow it alone — the candidate width may be fine
+            max_super = min(ns, -(-int((ms + sb_over) * 1.12) // 32) * 32)
+            continue
+        over = int(cand.overflow)
+        if over <= 0:
             break
-        max_cand = int(max_cand * 2)
-        if max_cand > 4096:
+        # grow to the measured need (+12% slack), rounded to 128 so the
+        # jit shapes repeat — not naive doubling, which would lock in a
+        # 2x-too-wide test/compaction sweep forever
+        need = int((max_cand + over) * 1.12)
+        if need > 4096:
             raise RuntimeError("candidate list overflow beyond 4096")
+        max_cand = min(4096, -(-need // 128) * 128)
     _LAST_MAX_CAND[key] = max_cand
+    _LAST_MAX_CAND[key + ("sb",)] = ms
     return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
                           max_cand=max_cand)
 
@@ -143,13 +158,24 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
 _CLASS_EDGES = (128, 512, 2048, 4096)
 
 
-def _quantize_size(n: int, nb: int) -> int:
+_CLASS_SIZE_MEMO: dict = {}
+
+
+def _quantize_size(n: int, nb: int, m: int = 0) -> int:
     """Round a selection size up onto a coarse geometric grid
     {nb, nb/2, nb/4, ..., 64} so the jit shapes repeat across WVT
-    iterations even as class memberships drift."""
+    iterations even as class memberships drift; sizes are sticky per
+    (class, nb) — a membership wobble across a grid boundary must not
+    recompile the whole-iteration program."""
     size = max(nb, 64)
     while size // 2 >= max(n, 64):
         size //= 2
+    key = (m, nb)
+    prev = _CLASS_SIZE_MEMO.get(key)
+    if prev is not None and n <= prev:
+        size = prev   # never shrink: a recompile costs far more than
+        #               the cnt-gated padded rows
+    _CLASS_SIZE_MEMO[key] = size
     return size
 
 
@@ -167,7 +193,8 @@ def classed_selections(state: NeighbourState):
         ids = np.where((counts > lo) & (counts <= m))[0].astype(np.int32)
         lo = m
         if len(ids):
-            padded = np.full(_quantize_size(len(ids), nb), -1, np.int32)
+            padded = np.full(_quantize_size(len(ids), nb, m), -1,
+                             np.int32)
             padded[: len(ids)] = ids
             sels.append((m, padded))
         if m >= state.max_cand:
@@ -181,9 +208,7 @@ def run_classed(state: NeighbourState, fn):
     bi = state.index
     p = bi.n_padded
     outs = None
-    sels = (state.sels if state.sels is not None
-            else classed_selections(state))
-    for m, ids_np in sels:
+    for m, ids_np in classed_selections(state):
         ids = jnp.asarray(ids_np)
         rows = state.cand.idx[jnp.maximum(ids, 0)][:, :m]
         rows = jnp.where((ids >= 0)[:, None], rows, -1)
@@ -280,53 +305,3 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
     state = state._replace(index=bi._replace(
         order=jnp.arange(n_gas, dtype=bi.order.dtype)))
     return parts, state
-
-
-def fused_pass(state: NeighbourState, h0_sorted, hm_sorted, mpart,
-               boxsize, *, kernel="wc6", desnngb=295):
-    """One-shot density solve + WVT displacement over a shared combined
-    candidate structure (the reference's tree reuse, wvt_relax.c:66-171).
-
-    `h0_sorted` is the hsml warm start, `hm_sorted` the WVT metric length
-    in box units, both (P,) in sorted layout.  Returns
-    (DensityResult, delta_sorted (P,3) in box units WITHOUT the step
-    factor — the caller applies step after the convergence decision)."""
-    bi = state.index
-    nb = bi.n_blocks
-
-    if _engine() == "pallas":
-        from ..ops.pallas_pair import fused_wvt_pallas
-        pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
-        hm_src = jnp.where(bi.valid, hm_sorted, 0.0)
-        hm_blocks = hm_src.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
-        h0_b = h0_sorted.reshape(nb, blk.BLOCK)
-        cap_b = state.h_cap.reshape(nb, blk.BLOCK)
-        hm_b = hm_sorted.reshape(nb, blk.BLOCK)
-
-        def fused_class(sel, m):
-            idc = jnp.maximum(sel.ids, 0)
-            cnt = jnp.where(sel.ids >= 0, state.cand.count[idc], 0)
-            rho, h, vf, wk, done, delta = fused_wvt_pallas(
-                pos_t, hm_blocks, sel.cand, cnt, pos_t[idc], h0_b[idc],
-                cap_b[idc], hm_b[idc], float(mpart), float(boxsize),
-                kernel=kernel, desnngb=desnngb)
-            return [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
-                    wk.reshape(-1), done.reshape(-1),
-                    delta.reshape(-1, 3)]
-    else:
-        def fused_class(sel, m):
-            res = pair_ops.solve_density(
-                bi, sel, h0_sorted, state.h_cap, mpart, boxsize,
-                kernel=kernel, desnngb=desnngb)
-            delta = pair_ops.wvt_displacement(
-                bi, sel, hm_sorted, 1.0, boxsize, kernel=kernel)
-            return [res.rho, res.hsml, res.var_hsml_fac, res.wk_ngb,
-                    res.done, delta]
-
-    rho, h, vf, wk, done, delta = run_classed(state, fused_class)
-    done = done > 0.5 if done.dtype != jnp.bool_ else done
-    saturated = (~done) | (h >= state.h_cap * 0.999)
-    res = pair_ops.DensityResult(rho=rho, hsml=h, var_hsml_fac=vf,
-                                 wk_ngb=wk, done=done,
-                                 saturated=saturated)
-    return res, delta

@@ -55,6 +55,114 @@ def _move(pos_gas, delta_box, boxsize):
     return pos - jnp.floor(pos / boxsize) * boxsize
 
 
+# -------------------------------------------------------------------------
+# Whole-iteration jit: model density, metric, per-class fused kernels,
+# scatters, error stats and saturation count compile into ONE program —
+# the host dispatches once per iteration (the axon tunnel costs ~20 ms
+# per dispatch, so the ~15 separate calls of the naive loop dominated).
+# Class receiver ids ride as dynamic args (quantized sizes keep the jit
+# signature stable across rebuilds).
+# -------------------------------------------------------------------------
+
+_ITER_FN_CACHE: dict = {}
+
+
+def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
+                 kernel, cool_core, engine):
+    from ..ops import blocks as blk
+    from ..ops import pair_ops
+
+    key = (class_shape, n_gas, n_padded, mpart, boxsize, desnngb, kernel,
+           cool_core, engine)
+    if key in _ITER_FN_CACHE:
+        return _ITER_FN_CACHE[key]
+
+    nb = n_padded // blk.BLOCK
+    pad = n_padded - n_gas
+
+    @jax.jit
+    def iter_fn(pos_gas, h_prev, h_cap_pad, cand_idx, count, class_ids,
+                ha):
+        rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
+                                                 cool_core)
+        h_box = _metric_hsml(rho_model, mpart, desnngb)
+        h0_model = (desnngb * mpart / rho_model
+                    / const.FOURPITHIRD) ** (1.0 / 3.0)
+        h0 = jnp.where(h_prev > 0, h_prev, h0_model)
+
+        def pad1(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])])
+
+        pos_pad = (pos_gas if pad == 0 else jnp.concatenate(
+            [pos_gas, jnp.broadcast_to(pos_gas[-1], (pad, 3))]))
+        valid = jnp.arange(n_padded) < n_gas
+        h0_s = pad1(h0)
+        hm_s = pad1(h_box)
+
+        pos_t = pos_pad.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+        hm_src = jnp.where(valid, hm_s, 0.0)
+        hm_blocks = hm_src.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+        h0_b = h0_s.reshape(nb, blk.BLOCK)
+        cap_b = h_cap_pad.reshape(nb, blk.BLOCK)
+        hm_b = hm_s.reshape(nb, blk.BLOCK)
+
+        outs = [jnp.zeros((n_padded,), jnp.float32) for _ in range(5)]
+        outs.append(jnp.zeros((n_padded, 3), jnp.float32))
+        for (m, s_rows), ids in zip(class_shape, class_ids):
+            idc = jnp.maximum(ids, 0)
+            rows = cand_idx[idc][:, :m]
+            rows = jnp.where((ids >= 0)[:, None], rows, -1)
+            cnt = jnp.where(ids >= 0, count[idc], 0)
+            if engine == "pallas":
+                from ..ops.pallas_pair import fused_wvt_pallas
+                rho, h, vf, wk, done, delta = fused_wvt_pallas(
+                    pos_t, hm_blocks, rows, cnt, pos_t[idc], h0_b[idc],
+                    cap_b[idc], hm_b[idc], float(mpart), float(boxsize),
+                    kernel=kernel, desnngb=desnngb)
+                res_list = [rho.reshape(-1), h.reshape(-1),
+                            vf.reshape(-1), wk.reshape(-1),
+                            done.reshape(-1).astype(jnp.float32),
+                            delta.reshape(-1, 3)]
+            else:
+                bi = blk.BlockIndex(
+                    order=jnp.arange(n_padded, dtype=jnp.int32),
+                    pos=pos_pad, valid=valid,
+                    bb_lo=jnp.zeros((nb, 3)), bb_hi=jnp.zeros((nb, 3)),
+                    sb_lo=jnp.zeros((1, 3)), sb_hi=jnp.zeros((1, 3)))
+                sel = pair_ops.BlockSelection(ids=ids, cand=rows)
+                res = pair_ops.solve_density(
+                    bi, sel, h0_s, h_cap_pad, mpart, boxsize,
+                    kernel=kernel, desnngb=desnngb)
+                delta = pair_ops.wvt_displacement(
+                    bi, sel, hm_s, 1.0, boxsize, kernel=kernel)
+                res_list = [res.rho, res.hsml, res.var_hsml_fac,
+                            res.wk_ngb, res.done.astype(jnp.float32),
+                            delta]
+            pidx = (idc[:, None] * blk.BLOCK
+                    + jnp.arange(blk.BLOCK, dtype=jnp.int32)).reshape(-1)
+            pidx = jnp.where(jnp.repeat(ids >= 0, blk.BLOCK), pidx,
+                             n_padded)
+            for k, r in enumerate(res_list):
+                outs[k] = outs[k].at[pidx].set(r, mode="drop")
+
+        rho, hsml, vf, wk, done_f, delta = outs
+        done = done_f > 0.5
+        still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
+        saturated = (~done) | (hsml >= h_cap_pad * 0.999)
+        n_sat = jnp.where(valid & saturated & still_growable,
+                          1, 0).sum()
+
+        err = jnp.abs(rho[:n_gas] - rho_model) / rho_model
+        return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], delta[:n_gas],
+                rho_model, err.max(), err.mean(), n_sat)
+
+    _ITER_FN_CACHE[key] = iter_fn
+    return iter_fn
+
+
 def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                              parts: Particles, *, log=stage_log,
                              checkpoint_path: str | None = None,
@@ -102,71 +210,61 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
 
     state = None
     its_since_build = 0
-    identity = None
+    iter_fn = None
+    class_ids = None
+    engine = sph_mod._engine()
 
     for it in range(it0, max_iter + 1):
         # --- fused iteration: ONE neighbour structure serves the density
         # solve AND the displacement pass (the reference builds one tree
-        # per iteration and walks it twice, wvt_relax.c:66-171), and the
-        # structure itself is reused across REBUILD_EVERY iterations ---
-        pos_gas = parts.pos[:n_gas]
-        rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
-                                                 cool_core)
-        h_box = _metric_hsml(rho_model, mpart, desnngb)
-        h0_model = (desnngb * mpart / rho_model
-                    / const.FOURPITHIRD) ** (1.0 / 3.0)
-        h_prev = parts.hsml[:n_gas]
-        h0 = jnp.where(h_prev > 0, h_prev, h0_model)
+        # per iteration and walks it twice, wvt_relax.c:66-171); the
+        # structure is reused across REBUILD_EVERY iterations and the
+        # whole iteration compiles to a single dispatched program ---
         if its_since_build >= REBUILD_EVERY:
             state = None
 
         cap_factor = sph_mod._CAP_FACTOR
         for attempt in range(sph_mod._MAX_REBUILDS + 1):
+            pos_gas = parts.pos[:n_gas]
+            h_prev = parts.hsml[:n_gas]
             if state is None:
+                rho_model = sph_mod.global_density_model(
+                    pos_gas, ha, boxsize, cool_core)
+                h_box = _metric_hsml(rho_model, mpart, desnngb)
+                h0_model = (desnngb * mpart / rho_model
+                            / const.FOURPITHIRD) ** (1.0 / 3.0)
+                h0 = jnp.where(h_prev > 0, h_prev, h0_model)
                 h_cap_gas = jnp.minimum(
                     jnp.maximum(h0, h0_model) * cap_factor,
                     boxsize / 3.0)
                 state = sph_mod.build_neighbours(
                     pos_gas, h_cap_gas, boxsize,
                     radius_sym_gas=h_box * boxsize * _SYM_MARGIN)
-                order = state.index.order
                 # adopt the sorted layout once per build
                 # (peano.c:85-126 permutation analogue)
-                parts = sph_mod.permute_gas(parts, order)
+                parts = sph_mod.permute_gas(parts, state.index.order)
                 pos_gas = parts.pos[:n_gas]
-                rho_model = rho_model[order]
-                h_box = h_box[order]
-                h0_model = h0_model[order]
-                h0 = h0[order]
-                identity = jnp.arange(n_gas, dtype=order.dtype)
-                state = state._replace(
-                    index=state.index._replace(order=identity),
-                    sels=tuple(sph_mod.classed_selections(state)))
+                h_prev = parts.hsml[:n_gas]
+                sels = sph_mod.classed_selections(state)
+                class_shape = tuple((m, len(ids)) for m, ids in sels)
+                class_ids = tuple(jnp.asarray(ids) for _, ids in sels)
+                iter_fn = _get_iter_fn(
+                    class_shape, n_gas, state.index.n_padded,
+                    float(mpart), float(boxsize), desnngb,
+                    cfg.sph_kernel, cool_core, engine)
                 its_since_build = 0
-            else:
-                # refresh the cached structure with the moved positions
-                # (order, caps, candidates stay — slack covers the drift)
-                bi0 = state.index
-                pad = bi0.n_padded - n_gas
-                spos = (jnp.concatenate(
-                    [pos_gas, jnp.broadcast_to(pos_gas[-1], (pad, 3))])
-                    if pad else pos_gas)
-                state = state._replace(index=bi0._replace(pos=spos))
 
-            bi = state.index
-            h0_sorted = sph_mod._pad_sorted(h0, identity, bi.n_padded)
-            hm_sorted = sph_mod._pad_sorted(h_box, identity, bi.n_padded)
-            res, delta_sorted = sph_mod.fused_pass(
-                state, h0_sorted, hm_sorted, mpart, boxsize,
-                kernel=cfg.sph_kernel, desnngb=desnngb)
-            still_growable = state.h_cap < (boxsize / 3.0) * 0.999
-            n_sat = int((res.saturated & still_growable)[:n_gas].sum())
+            out = iter_fn(pos_gas, h_prev, state.h_cap, state.cand.idx,
+                          state.cand.count, class_ids, ha)
+            (rho, hsml, vf, delta_box, rho_model_s, err_max_d,
+             err_mean_d, n_sat_d) = out
+            n_sat = int(n_sat_d)
             if n_sat == 0:
                 break
             # saturation: the build-time search radius no longer covers
             # the needed h — rebuild (with a grown cap after the first
             # rebuilt attempt)
-            h0 = res.hsml[:n_gas]
+            parts = parts._replace(hsml=hsml)
             if its_since_build == 0:
                 cap_factor *= 1.6
             state = None
@@ -176,15 +274,11 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 f"{sph_mod._MAX_REBUILDS} rebuilds")
         its_since_build += 1
 
-        rho_model_s = rho_model
-        parts = parts._replace(
-            rho=res.rho[:n_gas], hsml=res.hsml[:n_gas],
-            var_hsml_fac=res.var_hsml_fac[:n_gas],
-            rho_model=rho_model_s)
+        parts = parts._replace(rho=rho, hsml=hsml, var_hsml_fac=vf,
+                               rho_model=rho_model_s)
 
-        err_max, err_mean = _error_stats(parts.rho, rho_model_s)
-        err_max = float(err_max)
-        err_mean = float(err_mean)
+        err_max = float(err_max_d)
+        err_mean = float(err_mean_d)
         err_diff = (err_last - err_mean) / err_mean
 
         log("wvt", it=it, err_max=round(err_max, 4),
@@ -203,8 +297,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         err_last = err_mean
         err_diff_last = err_diff
 
-        delta = delta_sorted[:n_gas] * step
-        new_pos = _move(parts.pos[:n_gas], delta, boxsize)
+        new_pos = _move(pos_gas, delta_box * step, boxsize)
         parts = parts._replace(
             pos=parts.pos.at[:n_gas].set(new_pos))
 

@@ -100,6 +100,13 @@ class CandidateList(NamedTuple):
     idx: jnp.ndarray       # (nb, M) candidate block ids, -1 padded
     count: jnp.ndarray     # (nb,) true candidate counts
     overflow: jnp.ndarray  # () max(count) - M, positive means truncation
+    sb_overflow: jnp.ndarray  # () superblock-budget excess (level 1)
+
+
+def default_max_super(ns: int, max_cand: int) -> int:
+    """Superblock budget: bounds the level-2 test/compaction width
+    (max_super*SUPER) — kept tight; callers grow it on sb_overflow."""
+    return min(ns, max(64, max_cand // SUPER))
 
 
 _CAND_CHUNK = 512  # receiver blocks per chunk to bound temporaries
@@ -138,10 +145,7 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
     nb = bi.n_blocks
     ns = bi.sb_lo.shape[0]
     if max_super is None:
-        # the superblock budget bounds the level-2 test/compaction width
-        # (ms*SUPER) — keep it tight, the overflow retry doubles max_cand
-        # (and with it this budget) when a dense receiver needs more
-        max_super = min(ns, max(64, max_cand // SUPER))
+        max_super = default_max_super(ns, max_cand)
 
     # superblock radius: conservative per-superblock max of block radii
     def pad_sb(r):
@@ -205,13 +209,14 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
         idx = _compact_left(hitb, cand, nb, max_cand)
         count = hitb.sum(axis=1)
         return (jnp.where(idx >= nb, -1, idx).astype(jnp.int32),
-                count, jnp.maximum(count.max() - max_cand, sb_over))
+                count, count.max() - max_cand, sb_over)
 
-    idx, count, over = jax.lax.map(
+    idx, count, over, sb_over = jax.lax.map(
         chunk_fn, (lo_pad.reshape(nchunk, _CAND_CHUNK, 3),
                    hi_pad.reshape(nchunk, _CAND_CHUNK, 3),
                    rad_pad.reshape(nchunk, _CAND_CHUNK),
                    sym_pad.reshape(nchunk, _CAND_CHUNK)))
     return CandidateList(idx=idx.reshape(-1, max_cand)[:nb],
                          count=count.reshape(-1)[:nb],
-                         overflow=over.max())
+                         overflow=over.max(),
+                         sb_overflow=sb_over.max())
