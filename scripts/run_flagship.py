@@ -1,0 +1,112 @@
+"""Flagship benchmark: BASELINE.json config 3 — equal-mass two-cluster
+merger, 1e7 particles, full pipeline to WVT convergence on one chip.
+
+Records the BASELINE metric (wall-clock to converged IC), the WVT
+convergence trajectory, the WC6/295 neighbour contract at production
+settings (sph.c:159-166), the direct-summation density audit, and the
+HBM footprint.  Writes FLAGSHIP_r02.json at the repo root.
+
+    python scripts/run_flagship.py [config_index] [ntotal=...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toycluster_tpu import parse_par_file, constants as const
+from toycluster_tpu.pipeline import make_ics
+from configs.run_configs import PRESETS, PAR
+
+IDX = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+
+def main():
+    overrides = dict(kv.split("=", 1) for kv in sys.argv[2:])
+    for k, v in overrides.items():
+        try:
+            overrides[k] = int(v)
+        except ValueError:
+            try:
+                overrides[k] = float(v)
+            except ValueError:
+                pass
+    preset = {**PRESETS[IDX], **overrides}
+    preset.setdefault("output_file", f"/tmp/IC_config{IDX}")
+    if not preset["output_file"].startswith("/"):
+        preset["output_file"] = "/tmp/" + preset["output_file"]
+    cfg = parse_par_file(PAR, **preset)
+
+    wvt_log = []
+    stage_t = {}
+    t_last = [time.perf_counter()]
+
+    def log(stage, **kw):
+        now = time.perf_counter()
+        dt = now - t_last[0]
+        t_last[0] = now
+        stage_t[stage] = stage_t.get(stage, 0.0) + dt
+        if stage == "wvt":
+            wvt_log.append(kw)
+        print(f"[{now - t0:9.2f}s] {stage}: " + " ".join(
+            f"{k}={v}" for k, v in kw.items() if k != "scene"),
+            flush=True)
+
+    t0 = time.perf_counter()
+    scene, parts = make_ics(cfg, log=log, check=True)
+    jax.block_until_ready(parts.pos)
+    wall = time.perf_counter() - t0
+
+    # WC6/295 contract at production settings (sph.c:159-166): invert
+    # the Dehnen+12 bias correction to recover wkNgb from rho and hsml
+    desnngb = cfg.desnngb
+    h = parts.hsml
+    rho = parts.rho
+    if cfg.sph_kernel == "wc6":
+        w0 = 1365.0 / (64.0 * const.PI) / (h ** 3)
+        rho_raw = rho - (-0.0116 * (desnngb * 0.01) ** (-2.236)
+                         * scene.mpart_gas * w0)
+    else:
+        rho_raw = rho
+    wk = const.FOURPITHIRD * h ** 3 * rho_raw / scene.mpart_gas
+    dev = np.abs(np.asarray(wk) - desnngb)
+    frac_ok = float((dev < const.NNGBDEV + 1e-3).mean())
+
+    mem = jax.local_devices()[0].memory_stats() or {}
+    out = {
+        "config": IDX,
+        "ntotal": cfg.ntotal,
+        "n_gas": parts.n_gas,
+        "kernel": cfg.sph_kernel,
+        "desnngb": desnngb,
+        "wall_clock_s": round(wall, 1),
+        "wvt_iterations": len(wvt_log),
+        "wvt_err_mean_final": wvt_log[-1]["err_mean"] if wvt_log else None,
+        "wvt_err_mean_first": wvt_log[0]["err_mean"] if wvt_log else None,
+        "stage_seconds": {k: round(v, 1) for k, v in stage_t.items()},
+        "contract_frac_within_NNGBDEV": round(frac_ok, 5),
+        "contract_median_dev": round(float(np.median(dev)), 4),
+        "contract_p999_dev": round(float(np.percentile(dev, 99.9)), 4),
+        "hbm_peak_bytes": mem.get("peak_bytes_in_use"),
+        "hbm_peak_gib": round(mem.get("peak_bytes_in_use", 0) / 2**30, 2),
+        "device": str(jax.devices()[0]),
+        "output_file": cfg.output_file,
+        "snapshot_bytes": os.path.getsize(cfg.output_file)
+        if os.path.exists(cfg.output_file) else None,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), f"FLAGSHIP_r02_config{IDX}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,62 @@ def test_make_ids_matches_reference_loop():
     assert (ids[n_gas:] == np.arange(n_gas, n_total) + 1).all()
     # ids are a permutation of 1..n_gas
     assert set(ids[:n_gas]) == set(range(1, n_gas + 1))
+
+
+def test_mass_census_matches_mass200():
+    """Show_mass_in_r200 (positions.c:142-216): the sampled mass inside
+    each halo's R200 must reproduce its Mass200 within sampling noise —
+    the reference's headline sampling oracle."""
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=40000, mass_ratio=0.5)
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    parts = pos_mod.make_positions(jax.random.PRNGKey(5), scene, ha)
+    parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+
+    recs = pos_mod.show_mass_in_r200(scene, parts)
+    assert len(recs) == 2
+    from toycluster_tpu import constants as const
+    for rec, h in zip(recs, scene.halos):
+        m200_msol = h.mtotal200 * scene.units.mass / const.MSOL2CGS
+        # two-halo overlap + finite-N noise: the census must land within
+        # ~10% of the model Mass200 at this particle count
+        assert rec["total_mass_r200"] == pytest.approx(m200_msol,
+                                                       rel=0.10)
+        # gas calibration (setup.c:93-99) is tighter than the DM census
+        m200_gas = h.mass200_gas * scene.units.mass / const.MSOL2CGS
+        assert rec["gas_mass_r200"] == pytest.approx(m200_gas, rel=0.12)
+    # effective baryon fraction lands near bf within noise
+    assert recs[0]["bf_eff_r200"] == pytest.approx(
+        scene.cosmo.baryon_fraction, rel=0.25)
+
+
+def test_stage_tables_render():
+    """The reference stdout tables (unit.c:9-17, cosmo.c:22-33,
+    setup.c:117-190, setup.c:313-327) render without error and carry the
+    headline numbers."""
+    import io
+    import sys
+    from toycluster_tpu.utils import logging as tlog
+
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=2000, mass_ratio=0.5)
+    scene = build_scene(cfg)
+    cap = io.StringIO()
+    err0 = sys.stderr
+    sys.stderr = cap
+    try:
+        tlog.report_units(scene.units)
+        tlog.report_cosmology(scene.cosmo, cfg.redshift)
+        tlog.report_halo_setup(scene)
+        tlog.report_kinematics(scene)
+    finally:
+        sys.stderr = err0
+    out = cap.getvalue()
+    assert "Setting System of Units" in out
+    assert f"Unit Length = {scene.units.length:g} cm" in out
+    assert "rho_crit(0)" in out
+    assert "Halo Setup : <0>" in out and "Halo Setup : <1>" in out
+    assert f"R200              = {scene.halos[0].r200:g} kpc" in out
+    assert "Kinematics of Collision" in out
+    assert f"Initial Distance    = {scene.d_clusters:g} kpc" in out

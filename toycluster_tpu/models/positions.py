@@ -204,3 +204,66 @@ def reassign_gas_to_halos(parts: Particles, ha: HaloArrays, boxsize: float,
         rho_model=parts.rho_model[order], bfld=parts.bfld[order],
         apot=parts.apot[order])
     return new, counts
+
+
+def show_mass_in_r200(scene, parts, *, log=None):
+    """R200 mass census — the reference's headline sampling oracle
+    (positions.c:142-216, called at main.c:48,60): per host halo (all
+    halos under REPORTSUBHALOS), count this halo's own particles — plus,
+    for halo 0, every subhalo's particles — inside its R200 sphere and
+    report the gas/DM mass budget and the effective baryon fraction.
+
+    Device reductions over the membership array replace the reference's
+    per-halo particle-slice loops.  Returns the per-halo records.
+    """
+    import sys
+
+    from .. import constants as const
+
+    msph = scene.mpart_gas * scene.units.mass / const.MSOL2CGS
+    mdm = scene.mpart_dm * scene.units.mass / const.MSOL2CGS
+    boxhalf = scene.boxhalf
+    n_gas = parts.n_gas
+    halo = parts.halo
+    is_gas = jnp.arange(parts.n_total) < n_gas
+    n_show = (scene.nhalos if scene.config.report_subhalos
+              else scene.sub_first)
+
+    records = []
+    for i in range(n_show):
+        h = scene.halos[i]
+        own = halo == i
+        member = own
+        if i == 0 and scene.sub_first < scene.nhalos:
+            member = member | (halo >= scene.sub_first)
+        center = jnp.asarray(h.d_com) + boxhalf
+        r2 = ((parts.pos - center) ** 2).sum(axis=-1)
+        inside = member & (r2 < h.r200 ** 2)
+        n_sph = int((inside & is_gas).sum())
+        n_dm = int((inside & ~is_gas).sum())
+        m200 = n_sph * msph + n_dm * mdm
+        # external budget vs the halo's OWN current membership (the
+        # reference updates Halo[].Npart at reassignment,
+        # positions.c:264-329, so these are live counts, not the plan)
+        ext_gas = (int((own & is_gas).sum()) - n_sph) * msph
+        ext_dm = (int((own & ~is_gas).sum()) - n_dm) * mdm
+        rec = dict(halo=i, r200=h.r200, gas_mass_r200=n_sph * msph,
+                   dm_mass_r200=n_dm * mdm, total_mass_r200=m200,
+                   ext_gas_mass=ext_gas, ext_dm_mass=ext_dm,
+                   bf_eff_r200=(n_sph * msph / (n_dm * mdm)
+                                if n_dm else 0.0))
+        records.append(rec)
+        print(f"\nSampling of Halo <{i}> (r200 = {h.r200:g} kpc):\n"
+              f"   Gas Mass in R200    = {rec['gas_mass_r200']:g} Msol \n"
+              f"   DM Mass in R200     = {rec['dm_mass_r200']:g} Msol \n"
+              f"   Total Mass in R200  = {m200:g} Msol \n"
+              f"   External Gas Mass   = {ext_gas:g} Msol \n"
+              f"   External DM  Mass   = {ext_dm:g} Msol \n"
+              f"   Total External Mass = {ext_gas + ext_dm:g} Msol \n"
+              f"   Effective bf in r200= {rec['bf_eff_r200']:g} ",
+              file=sys.stderr, flush=True)
+    if log is not None:
+        log("mass_census", halos=[
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in r.items()} for r in records])
+    return records

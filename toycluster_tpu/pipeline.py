@@ -39,6 +39,12 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
     t0 = time.perf_counter()
     scene = build_scene(cfg)
     log("setup", scene=scene)
+    if log is stage_log:  # reference stdout tables (SURVEY.md §5)
+        from .utils import logging as tlog
+        tlog.report_units(scene.units)
+        tlog.report_cosmology(scene.cosmo, cfg.redshift)
+        tlog.report_halo_setup(scene)
+        tlog.report_kinematics(scene)
 
     if cfg.substructure:
         from .models.substructure import setup_substructure
@@ -57,6 +63,7 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
 
     parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
     log("shift_origin")
+    pos_mod.show_mass_in_r200(scene, parts, log=log)  # main.c:48
 
     if not scene.dm_only:
         from .models import wvt, sph, bfield, temperature
@@ -79,6 +86,7 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
         parts, _ = pos_mod.reassign_gas_to_halos(parts, ha, scene.boxsize,
                                                  cool_core)
         log("reassign")
+        pos_mod.show_mass_in_r200(scene, parts, log=log)  # main.c:60
         parts = temperature.make_temperatures(scene, parts)
         log("temperatures")
 
