@@ -144,3 +144,79 @@ def test_pallas_displacement_matches_xla(setup):
     b = np.asarray(d_pal).reshape(-1, 3)[v]
     scale = np.abs(a).max()
     np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6 * scale)
+
+
+def test_superblock_tail_mode_matches_block_lists(setup):
+    """Far-tail rows use SUPERBLOCK-granular candidate lists (sb_mode,
+    8x compression for receivers whose block lists would overflow the
+    cap): density and displacement must match the block-granular path."""
+    import jax.numpy as jnp
+    from toycluster_tpu.ops.pallas_pair import (solve_density_pallas,
+                                                wvt_displacement_pallas)
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    radius = cap.reshape(nb, blk.BLOCK).max(axis=1)
+    # superblock lists for a handful of "tail" receivers
+    rec = jnp.asarray(np.array([0, 3, nb - 1, -1], np.int32))
+    cand_sb = blk.find_candidates_super(bi, rec, radius, radius, BOX,
+                                        max_cand=max(4, bi.sb_lo.shape[0]))
+    assert int(cand_sb.overflow) <= 0
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+    h0_b = h0s.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    idc = jnp.maximum(rec, 0)
+
+    rho_sb, h_sb, _, wk_sb, done_sb, _ = solve_density_pallas(
+        pos_t, valid_t, cand_sb.idx, pos_t[idc], h0_b[idc], cap_b[idc],
+        1.0, BOX, kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+        interpret=True, sb_mode=True)
+
+    # block-granular reference on the same receivers
+    rows = cand.idx[idc]
+    rows = jnp.where((rec >= 0)[:, None], rows, -1)
+    sel = pair_ops.BlockSelection(ids=rec, cand=rows)
+    res = pair_ops.solve_density(bi, sel, h0s, cap, 1.0, BOX,
+                                 kernel="wc6", desnngb=DESNNGB,
+                                 max_iter=24)
+    v = np.asarray(bi.valid).reshape(nb, blk.BLOCK)[np.maximum(
+        np.asarray(rec), 0)].reshape(-1)
+    v &= np.repeat(np.asarray(rec) >= 0, blk.BLOCK)
+    both = v & np.asarray(done_sb).reshape(-1) & np.asarray(res.done)
+    assert both.sum() > 0.9 * v.sum()
+    np.testing.assert_allclose(np.asarray(h_sb).reshape(-1)[both],
+                               np.asarray(res.hsml)[both], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(rho_sb).reshape(-1)[both],
+                               np.asarray(res.rho)[both], rtol=2e-3)
+
+    # displacement parity
+    h_box = h0s / BOX
+    h_b3 = h_box.reshape(nb, 1, blk.BLOCK)
+    h_b = h_box.reshape(nb, blk.BLOCK)
+    d_sb = wvt_displacement_pallas(
+        pos_t, valid_t, h_b3, cand_sb.idx, pos_t[idc], h_b[idc], 0.01,
+        BOX, kernel="wc6", interpret=True, sb_mode=True)
+    d_ref = pair_ops.wvt_displacement(bi, sel, h_box, 0.01, BOX)
+    a = np.asarray(d_ref)[v]
+    b = np.asarray(d_sb).reshape(-1, 3)[v]
+    np.testing.assert_allclose(b, a, rtol=2e-4,
+                               atol=1e-6 * max(np.abs(a).max(), 1e-30))
+
+    # the fused (VMEM-cached) kernel supports sb_mode too — used for
+    # small tail classes
+    from toycluster_tpu.ops.pallas_pair import fused_wvt_pallas
+    hm_src = jnp.where(bi.valid, h_box, 0.0)
+    hm_blocks = hm_src.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+    cnt = jnp.where(rec >= 0, cand_sb.count, 0)
+    rho_f, h_f, _, _, done_f, d_f = fused_wvt_pallas(
+        pos_t, hm_blocks, cand_sb.idx, cnt, pos_t[idc], h0_b[idc],
+        cap_b[idc], h_b[idc], 1.0, BOX, kernel="wc6", desnngb=DESNNGB,
+        n_sweeps=24, interpret=True, sb_mode=True)
+    both_f = v & np.asarray(done_f).reshape(-1) & np.asarray(res.done)
+    np.testing.assert_allclose(np.asarray(h_f).reshape(-1)[both_f],
+                               np.asarray(res.hsml)[both_f], rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(d_f).reshape(-1, 3)[v] * 0.01, a, rtol=2e-4,
+        atol=1e-6 * max(np.abs(a).max(), 1e-30))

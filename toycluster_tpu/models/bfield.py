@@ -91,7 +91,12 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
             bi, sel, h_s, rho_s, vf_s, apot_s, scene.mpart_gas,
             scene.boxsize, kernel=scene.config.sph_kernel),)
 
-    (bfld_sorted,) = sph_mod.run_classed(state, curl_class)
+    def curl_tail(ids, sb_rows, sb_cnt):
+        sel = pair_ops.BlockSelection(
+            ids=ids, cand=sph_mod.expand_tail_rows(sb_rows, bi.n_blocks))
+        return curl_class(sel, sel.cand.shape[1])
+
+    (bfld_sorted,) = sph_mod.run_classed(state, curl_class, curl_tail)
     # map back through the (near-identity) sort of this build
     bfld = jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(
         bfld_sorted[:n_gas])

@@ -29,6 +29,8 @@ from ..scene import Scene
 
 _CAP_FACTOR = 1.2      # candidate radius margin over the model-based h0
 _MAX_REBUILDS = 5
+_MS_CAP = 512          # superblock-budget ceiling: rows needing more go
+#                        to the exact superblock-granular tail path
 
 
 def _engine() -> str:
@@ -77,11 +79,17 @@ def permute_gas(parts: Particles, order) -> Particles:
 
 
 class NeighbourState(NamedTuple):
-    """Reusable block structure of the (already permuted) gas positions."""
+    """Reusable block structure of the (already permuted) gas positions.
+
+    `tail`: far-tail receiver rows whose block-granular candidate lists
+    would overflow the 4096 cap (their bbox+radius windows sweep in the
+    dense center) carry SUPERBLOCK-granular lists instead —
+    (ids (T,), sb_idx (T, M_sb), sb_count (T,)) or None."""
     index: blk.BlockIndex
     cand: blk.CandidateList
     h_cap: jnp.ndarray     # (P,) padded sorted layout
     max_cand: int
+    tail: Optional[tuple] = None
 
 
 def _pad_sorted(x, order, n_padded, fill_last=True):
@@ -119,32 +127,58 @@ def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
     if radius_sym_gas is not None:
         sym = _pad_sorted(radius_sym_gas, bi.order, bi.n_padded)
         radius_sym = sym.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
+    tail = None
+    ms_cap = min(ns, _MS_CAP)
     while True:
         ms = (min(max_super, ns) if max_super is not None
-              else blk.default_max_super(ns, max_cand))
+              else min(blk.default_max_super(ns, max_cand), ms_cap))
         cand = blk.find_candidates(bi, radius, boxsize, max_cand=max_cand,
                                    max_super=ms, symmetric=symmetric,
                                    radius_sym=radius_sym)
         sb_over = int(cand.sb_overflow)
-        if sb_over > 0:
-            # superblock budget too small (big-radius outskirt blocks):
-            # grow it alone — the candidate width may be fine
-            max_super = min(ns, -(-int((ms + sb_over) * 1.12) // 32) * 32)
+        if sb_over > 0 and ms < ms_cap:
+            # superblock budget too small: grow it (bounded — rows past
+            # the cap become tail rows below, never a memory blow-up)
+            max_super = min(ms_cap,
+                            -(-int((ms + sb_over) * 1.12) // 32) * 32)
             continue
-        over = int(cand.overflow)
-        if over <= 0:
+        counts = np.asarray(cand.count)
+        sb_counts = np.asarray(cand.sb_count)
+        # rows over EITHER budget get exact superblock-granular lists
+        # (their bbox+radius windows sweep in the dense center; level-2
+        # counts of sb-overflowed rows are undercounted, so flag those
+        # too)
+        flagged = (counts > max_cand) | (sb_counts > ms)
+        if not flagged.any():
             break
-        # grow to the measured need (+12% slack), rounded to 128 so the
-        # jit shapes repeat — not naive doubling, which would lock in a
-        # 2x-too-wide test/compaction sweep forever
-        need = int((max_cand + over) * 1.12)
-        if need > 4096:
-            raise RuntimeError("candidate list overflow beyond 4096")
-        max_cand = min(4096, -(-need // 128) * 128)
+        over = int(cand.overflow)
+        need = int((max_cand + max(over, 0)) * 1.12)
+        if need <= 4096 and int(cand.sb_overflow) <= 0:
+            # the block-granular width can still absorb everything
+            max_cand = min(4096, -(-need // 128) * 128)
+            continue
+        tail_ids = np.where(flagged)[0]
+        t_pad = np.full(_quantize_size(len(tail_ids), bi.n_blocks, -1),
+                        -1, np.int32)
+        t_pad[: len(tail_ids)] = tail_ids
+        sym = radius_sym if radius_sym is not None else radius
+        m_sb = _LAST_MAX_CAND.get(key + ("tail",), 1024)
+        while True:
+            cand_sb = blk.find_candidates_super(
+                bi, jnp.asarray(t_pad), radius, sym, boxsize,
+                max_cand=m_sb)
+            if int(cand_sb.overflow) <= 0:
+                break
+            m_sb = -(-int((m_sb + int(cand_sb.overflow)) * 1.12)
+                     // 128) * 128
+        _LAST_MAX_CAND[key + ("tail",)] = m_sb
+        tail = (t_pad, cand_sb.idx, jnp.where(
+            jnp.asarray(t_pad) >= 0, cand_sb.count, 0))
+        break
     _LAST_MAX_CAND[key] = max_cand
     _LAST_MAX_CAND[key + ("sb",)] = ms
     return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
-                          max_cand=max_cand)
+                          max_cand=max_cand, tail=tail)
 
 
 # -------------------------------------------------------------------------
@@ -181,8 +215,14 @@ def _quantize_size(n: int, nb: int, m: int = 0) -> int:
 
 def classed_selections(state: NeighbourState):
     """Host-side bucketing of receiver blocks by candidate count; each
-    bucket is padded (ids = -1) to a quantized size for shape stability."""
+    bucket is padded (ids = -1) to a quantized size for shape stability.
+    Far-tail rows (state.tail) are excluded — they run on their own
+    superblock-granular path."""
     counts = np.asarray(state.cand.count)
+    if state.tail is not None:
+        excl = state.tail[0]
+        counts = counts.copy()
+        counts[excl[excl >= 0]] = np.iinfo(np.int32).max
     nb = len(counts)
     sels = []
     lo = 0
@@ -202,18 +242,30 @@ def classed_selections(state: NeighbourState):
     return sels
 
 
-def run_classed(state: NeighbourState, fn):
+def expand_tail_rows(sb_rows, nb):
+    """(T, M_sb) superblock ids -> (T, M_sb*SUPER) block ids.  Invalid
+    entries map to -1 and, because sb ids ascend, land at the row tails —
+    safe for every consumer's sorted-list assumption."""
+    t, m = sb_rows.shape
+    e = (jnp.maximum(sb_rows, 0)[:, :, None] * blk.SUPER
+         + jnp.arange(blk.SUPER, dtype=jnp.int32))
+    ok = (sb_rows >= 0)[:, :, None] & (e < nb)
+    return jnp.where(ok, e, -1).reshape(t, m * blk.SUPER)
+
+
+def run_classed(state: NeighbourState, fn, tail_fn=None):
     """Run `fn(sel, m) -> tuple of (S*BLOCK, ...) arrays` per count class
-    and scatter the results into (P, ...) sorted-layout arrays."""
+    and scatter the results into (P, ...) sorted-layout arrays.
+
+    When the state carries far-tail rows (superblock-granular candidate
+    lists, see NeighbourState.tail), `tail_fn(ids, sb_rows, sb_cnt)` must
+    be supplied to process them."""
     bi = state.index
     p = bi.n_padded
     outs = None
-    for m, ids_np in classed_selections(state):
-        ids = jnp.asarray(ids_np)
-        rows = state.cand.idx[jnp.maximum(ids, 0)][:, :m]
-        rows = jnp.where((ids >= 0)[:, None], rows, -1)
-        sel = pair_ops.BlockSelection(ids=ids, cand=rows)
-        res = fn(sel, m)
+
+    def scatter(ids, res):
+        nonlocal outs
         if outs is None:
             outs = [jnp.zeros((p,) + r.shape[1:], r.dtype) for r in res]
         pidx = (jnp.maximum(ids, 0)[:, None] * blk.BLOCK
@@ -221,6 +273,21 @@ def run_classed(state: NeighbourState, fn):
         pidx = jnp.where(jnp.repeat(ids >= 0, blk.BLOCK), pidx, p)
         for k, r in enumerate(res):
             outs[k] = outs[k].at[pidx].set(r, mode="drop")
+
+    for m, ids_np in classed_selections(state):
+        ids = jnp.asarray(ids_np)
+        rows = state.cand.idx[jnp.maximum(ids, 0)][:, :m]
+        rows = jnp.where((ids >= 0)[:, None], rows, -1)
+        sel = pair_ops.BlockSelection(ids=ids, cand=rows)
+        scatter(ids, fn(sel, m))
+    if state.tail is not None:
+        if tail_fn is None:
+            raise RuntimeError(
+                "neighbour state carries far-tail rows but the caller "
+                "provided no tail_fn")
+        t_ids, sb_rows, sb_cnt = state.tail
+        ids = jnp.asarray(t_ids)
+        scatter(ids, tail_fn(ids, sb_rows, sb_cnt))
     return outs
 
 
@@ -272,13 +339,30 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
                     cap_b[idc], float(mpart), float(boxsize),
                     kernel=cfg.sph_kernel, desnngb=desnngb)
                 return [o.reshape(-1) for o in out]
+
+            def density_tail(ids, sb_rows, sb_cnt):
+                idc = jnp.maximum(ids, 0)
+                out = solve_density_pallas(
+                    pos_t, valid_t, sb_rows, pos_t[idc], h0_b[idc],
+                    cap_b[idc], float(mpart), float(boxsize),
+                    kernel=cfg.sph_kernel, desnngb=desnngb,
+                    sb_mode=True)
+                return [o.reshape(-1) for o in out]
         else:
             def density_class(sel, m):
                 return pair_ops.solve_density(
                     bi, sel, h0_sorted, state.h_cap, mpart, boxsize,
                     kernel=cfg.sph_kernel, desnngb=desnngb)
 
-        res = pair_ops.DensityResult(*run_classed(state, density_class))
+            def density_tail(ids, sb_rows, sb_cnt):
+                sel = pair_ops.BlockSelection(
+                    ids=ids, cand=expand_tail_rows(sb_rows, bi.n_blocks))
+                return pair_ops.solve_density(
+                    bi, sel, h0_sorted, state.h_cap, mpart, boxsize,
+                    kernel=cfg.sph_kernel, desnngb=desnngb)
+
+        res = pair_ops.DensityResult(
+            *run_classed(state, density_class, density_tail))
         # particles whose cap hit the global clamp keep their capped h
         still_growable = state.h_cap < (boxsize / 3.0) * 0.999
         n_sat = int((res.saturated & still_growable)[:n_gas].sum())

@@ -22,7 +22,6 @@ from ..particles import HaloArrays, Particles
 from ..scene import Scene
 from .eddington import build_distribution_function, RMIN
 
-MAX_TRIES = 90_000  # velocities.c:80
 
 
 class VelocityTables(NamedTuple):
@@ -78,70 +77,81 @@ def potential_device(vt: VelocityTables, r):
     return psi + jnp.where(vt.has_gas, gas, 0.0)
 
 
-_K_DRAWS = 16  # candidate draws per lane per round
+_VTAB_V = 256  # speed nodes per CDF row
 
 
-def _rejection_rounds(key, vt, psi, vmax, qmax, max_rounds, stop_count=0):
-    """Masked batch rejection with K candidates per lane per round; the
-    first accepted candidate of a lane wins (equivalent to K serial tries).
-    Loops until at most `stop_count` lanes remain or the round budget is
-    spent.  Returns (v, done)."""
-    n = psi.shape[0]
+@partial(jax.jit, static_argnames=("n_rows",))
+def _speed_cdf_table(vt: VelocityTables, r_lo, r_hi, n_rows=512):
+    """Tabulated speed CDFs on a log-r grid.
 
-    def cond(state):
-        it, _, done, _ = state
-        return (jnp.sum(~done) > stop_count) & (it < max_rounds)
+    The reference rejection-samples p(v) proportional to v^2 f(psi(r) -
+    v^2/2) per particle with up to 90,000 uniform draws
+    (velocities.c:62-95) — a serial-CPU idiom whose low-acceptance
+    central lanes make a data-dependent while_loop run minutes on an
+    accelerator.  The TPU-native equivalent draws from the SAME
+    distribution by inverting its CDF: one cumulative-trapezoid table
+    per radius row, one table lookup per particle, zero loops."""
+    r = jnp.geomspace(r_lo, r_hi, n_rows)
+    psi = potential_device(vt, r)                         # (R,)
+    vmax = jnp.sqrt(2.0 * psi)
+    u = jnp.linspace(0.0, 1.0, _VTAB_V)
+    v = vmax[:, None] * u[None, :]                        # (R, V)
+    e = psi[:, None] - 0.5 * v * v                        # = -E_tot
+    f = jnp.maximum(spline_eval(vt.fE, e), 0.0)
+    integ = v * v * f
+    seg = 0.5 * (integ[:, 1:] + integ[:, :-1])            # trapezoid
+    cdf = jnp.concatenate(
+        [jnp.zeros((n_rows, 1)), jnp.cumsum(seg, axis=1)], axis=1)
+    norm = cdf[:, -1:]
+    cdf = cdf / jnp.maximum(norm, 1e-30)
+    return r, cdf, vmax, (norm[:, 0] > 0)
 
-    def body(state):
-        it, key, done, v = state
-        key, k1, k2 = jax.random.split(key, 3)
-        lower = qmax[:, None] * jax.random.uniform(k1, (n, _K_DRAWS))
-        vc = vmax[:, None] * jax.random.uniform(k2, (n, _K_DRAWS))
-        e_tot = 0.5 * vc * vc - psi[:, None]
-        q = (4.0 * const.PI * vc**2 / vt.mtotal
-             * spline_eval(vt.fE, -e_tot))
-        ok = q >= lower
-        any_ok = jnp.any(ok, axis=1)
-        first = jnp.argmax(ok, axis=1)
-        v_new = jnp.take_along_axis(vc, first[:, None], axis=1)[:, 0]
-        v = jnp.where(~done & any_ok, v_new, v)
-        return it + 1, key, done | any_ok, v
 
-    state = (0, key, jnp.zeros((n,), bool), jnp.zeros((n,), jnp.float32))
-    _, _, done, v = jax.lax.while_loop(cond, body, state)
-    return v, done
+def _invert_cdf_rows(cdf, rows, uu):
+    """v/vmax for uniform draws uu against per-row CDFs (bisection on the
+    _VTAB_V nodes, gather-based — branch-free)."""
+    lo = jnp.zeros_like(rows)
+    hi = jnp.full_like(rows, _VTAB_V - 1)
+    for _ in range(9):  # 2^9 > _VTAB_V
+        mid = (lo + hi) // 2
+        c = cdf[rows, mid]
+        go_hi = uu > c
+        lo = jnp.where(go_hi, mid, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    lo = jnp.minimum(lo, _VTAB_V - 2)
+    c0 = cdf[rows, lo]
+    c1 = cdf[rows, lo + 1]
+    frac = jnp.clip((uu - c0) / jnp.maximum(c1 - c0, 1e-30), 0.0, 1.0)
+    return (lo + frac) / (_VTAB_V - 1)
 
 
 @jax.jit
 def sample_speeds(key, vt: VelocityTables, r):
-    """Rejection-sample |v| for particles at radii r (velocities.c:62-95).
-
-    Two phases keep the wide batch cheap: a full-width pass until only a
-    small tail of low-acceptance (central) lanes remains, then a compacted
-    pass that runs those lanes to the reference's 90,000-try cap; lanes
-    exceeding the cap fall back to v=0 like the reference.
-    """
+    """Draw |v| ~ 4 pi v^2 f(E)/M for particles at radii r — the exact
+    target distribution of the reference's rejection loop
+    (velocities.c:62-95), sampled by inverse-CDF tables (see
+    _speed_cdf_table).  Rows whose f(E) integrates to zero fall back to
+    v=0 (the reference's 90,000-try fallback, velocities.c:94)."""
     n = r.shape[0]
     r = jnp.maximum(jnp.float32(RMIN), r)
-    psi = potential_device(vt, r)
-    vmax = jnp.sqrt(2.0 * psi)
-    qmax = 4.0 * const.PI * vmax**2 / vt.mtotal * spline_eval(vt.fE, psi)
+    r_lo = jnp.float32(RMIN)
+    r_hi = jnp.maximum(jnp.max(r), r_lo * 2.0)
+    rtab, cdf, vmax_tab, ok_row = _speed_cdf_table(vt, r_lo, r_hi)
+    n_rows = rtab.shape[0]
 
-    m = max(64, n // 64)  # compacted tail width
-    ka, kb = jax.random.split(key)
-    v, done = _rejection_rounds(ka, vt, psi, vmax, qmax,
-                                max_rounds=MAX_TRIES // _K_DRAWS,
-                                stop_count=min(m, n) - 1 if n > m else 0)
-    if n > m:
-        idx = jnp.nonzero(~done, size=m, fill_value=0)[0]
-        lane = jnp.arange(m) < jnp.sum(~done)
-        v_t, done_t = _rejection_rounds(
-            kb, vt, psi[idx], vmax[idx], qmax[idx],
-            max_rounds=MAX_TRIES // _K_DRAWS)
-        upd = lane & done_t
-        v = v.at[idx].set(jnp.where(upd, v_t, v[idx]))
-        done = done.at[idx].set(jnp.where(lane, done_t, done[idx]))
-    return jnp.where(done, v, 0.0)  # v=0 after MAX_TRIES (velocities.c:94)
+    x = (jnp.log(r / r_lo) / jnp.log(r_hi / r_lo)) * (n_rows - 1)
+    x = jnp.clip(x, 0.0, n_rows - 1 - 1e-4)
+    row = x.astype(jnp.int32)
+    frac = x - row
+    uu = jax.random.uniform(key, (n,))
+    u0 = _invert_cdf_rows(cdf, row, uu)
+    u1 = _invert_cdf_rows(cdf, jnp.minimum(row + 1, n_rows - 1), uu)
+    u_v = (1.0 - frac) * u0 + frac * u1
+    # exact per-particle escape speed (not the row's) bounds the draw
+    vmax = jnp.sqrt(2.0 * potential_device(vt, r))
+    v = u_v * vmax
+    good = ok_row[row] | ok_row[jnp.minimum(row + 1, n_rows - 1)]
+    return jnp.where(good, v, 0.0)
 
 
 def _sphere_dirs(key, n):

@@ -31,7 +31,9 @@ ERRDIFF_LIMIT = 0.01    # wvt_relax.c:8
 # structure is reused across iterations; correctness is guarded by the
 # hsml cap: a particle whose h outgrows the build-time search radius is
 # flagged `saturated`, which forces a rebuild.
-REBUILD_EVERY = 8
+import os as _os
+
+REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 8))
 _SYM_MARGIN = 1.1       # displacement-radius slack for inter-build drift
 
 
@@ -68,12 +70,12 @@ _ITER_FN_CACHE: dict = {}
 
 
 def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
-                 kernel, cool_core, engine):
+                 kernel, cool_core, engine, tail_shape=None):
     from ..ops import blocks as blk
     from ..ops import pair_ops
 
     key = (class_shape, n_gas, n_padded, mpart, boxsize, desnngb, kernel,
-           cool_core, engine)
+           cool_core, engine, tail_shape)
     if key in _ITER_FN_CACHE:
         return _ITER_FN_CACHE[key]
 
@@ -82,7 +84,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
 
     @jax.jit
     def iter_fn(pos_gas, h_prev, h_cap_pad, cand_idx, count, class_ids,
-                ha):
+                tail, ha):
         rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
                                                  cool_core)
         h_box = _metric_hsml(rho_model, mpart, desnngb)
@@ -144,6 +146,65 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             pidx = (idc[:, None] * blk.BLOCK
                     + jnp.arange(blk.BLOCK, dtype=jnp.int32)).reshape(-1)
             pidx = jnp.where(jnp.repeat(ids >= 0, blk.BLOCK), pidx,
+                             n_padded)
+            for k, r in enumerate(res_list):
+                outs[k] = outs[k].at[pidx].set(r, mode="drop")
+
+        if tail_shape is not None:
+            # far-tail rows: superblock-granular lists via the v1
+            # streaming kernels (their candidate sets are too large for
+            # the VMEM cache of the fused kernel)
+            t_ids, sb_rows, sb_cnt = tail
+            idc = jnp.maximum(t_ids, 0)
+            if engine == "pallas" and tail_shape[1] * blk.SUPER <= 512:
+                # small tail: the fused kernel's VMEM cache still fits
+                from ..ops.pallas_pair import fused_wvt_pallas
+                rho, h, vf, wk, done, delta = fused_wvt_pallas(
+                    pos_t, hm_blocks, sb_rows, sb_cnt, pos_t[idc],
+                    h0_b[idc], cap_b[idc], hm_b[idc], float(mpart),
+                    float(boxsize), kernel=kernel, desnngb=desnngb,
+                    sb_mode=True)
+                res_list = [rho.reshape(-1), h.reshape(-1),
+                            vf.reshape(-1), wk.reshape(-1),
+                            done.reshape(-1).astype(jnp.float32),
+                            delta.reshape(-1, 3)]
+            elif engine == "pallas":
+                from ..ops.pallas_pair import (solve_density_pallas,
+                                               wvt_displacement_pallas)
+                valid_t = valid.reshape(nb, 1, blk.BLOCK).astype(
+                    jnp.float32)
+                out6 = solve_density_pallas(
+                    pos_t, valid_t, sb_rows, pos_t[idc], h0_b[idc],
+                    cap_b[idc], float(mpart), float(boxsize),
+                    kernel=kernel, desnngb=desnngb, sb_mode=True)
+                dlt = wvt_displacement_pallas(
+                    pos_t, valid_t, hm_blocks, sb_rows, pos_t[idc],
+                    hm_b[idc], 1.0, float(boxsize), kernel=kernel,
+                    sb_mode=True)
+                res_list = [out6[0].reshape(-1), out6[1].reshape(-1),
+                            out6[2].reshape(-1), out6[3].reshape(-1),
+                            out6[4].reshape(-1).astype(jnp.float32),
+                            dlt.reshape(-1, 3)]
+            else:
+                bi = blk.BlockIndex(
+                    order=jnp.arange(n_padded, dtype=jnp.int32),
+                    pos=pos_pad, valid=valid,
+                    bb_lo=jnp.zeros((nb, 3)), bb_hi=jnp.zeros((nb, 3)),
+                    sb_lo=jnp.zeros((1, 3)), sb_hi=jnp.zeros((1, 3)))
+                from ..models.sph import expand_tail_rows
+                sel = pair_ops.BlockSelection(
+                    ids=t_ids, cand=expand_tail_rows(sb_rows, nb))
+                res = pair_ops.solve_density(
+                    bi, sel, h0_s, h_cap_pad, mpart, boxsize,
+                    kernel=kernel, desnngb=desnngb)
+                dlt = pair_ops.wvt_displacement(
+                    bi, sel, hm_s, 1.0, boxsize, kernel=kernel)
+                res_list = [res.rho, res.hsml, res.var_hsml_fac,
+                            res.wk_ngb, res.done.astype(jnp.float32),
+                            dlt]
+            pidx = (idc[:, None] * blk.BLOCK
+                    + jnp.arange(blk.BLOCK, dtype=jnp.int32)).reshape(-1)
+            pidx = jnp.where(jnp.repeat(t_ids >= 0, blk.BLOCK), pidx,
                              n_padded)
             for k, r in enumerate(res_list):
                 outs[k] = outs[k].at[pidx].set(r, mode="drop")
@@ -220,10 +281,18 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         # per iteration and walks it twice, wvt_relax.c:66-171); the
         # structure is reused across REBUILD_EVERY iterations and the
         # whole iteration compiles to a single dispatched program ---
-        if its_since_build >= REBUILD_EVERY:
+        # structures carrying far-tail rows are not reused across
+        # iterations: re-invoking a compiled program with a large
+        # superblock-tail crashes the TPU runtime (observed kernel fault
+        # on the second invocation only — single-invocation and
+        # tail-free programs are stable), so those regimes rebuild
+        if its_since_build >= REBUILD_EVERY or (
+                state is not None and state.tail is not None):
             state = None
 
         cap_factor = sph_mod._CAP_FACTOR
+        grow_mask = None   # per-particle: only saturated lanes get the
+        #                    grown cap, so windows (and tails) stay tight
         for attempt in range(sph_mod._MAX_REBUILDS + 1):
             pos_gas = parts.pos[:n_gas]
             h_prev = parts.hsml[:n_gas]
@@ -234,8 +303,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 h0_model = (desnngb * mpart / rho_model
                             / const.FOURPITHIRD) ** (1.0 / 3.0)
                 h0 = jnp.where(h_prev > 0, h_prev, h0_model)
+                fac = (cap_factor if grow_mask is None else jnp.where(
+                    grow_mask, cap_factor, sph_mod._CAP_FACTOR))
                 h_cap_gas = jnp.minimum(
-                    jnp.maximum(h0, h0_model) * cap_factor,
+                    jnp.maximum(h0, h0_model) * fac,
                     boxsize / 3.0)
                 state = sph_mod.build_neighbours(
                     pos_gas, h_cap_gas, boxsize,
@@ -248,22 +319,31 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 sels = sph_mod.classed_selections(state)
                 class_shape = tuple((m, len(ids)) for m, ids in sels)
                 class_ids = tuple(jnp.asarray(ids) for _, ids in sels)
+                tail_shape = (None if state.tail is None else
+                              (len(state.tail[0]),
+                               state.tail[1].shape[1]))
                 iter_fn = _get_iter_fn(
                     class_shape, n_gas, state.index.n_padded,
                     float(mpart), float(boxsize), desnngb,
-                    cfg.sph_kernel, cool_core, engine)
+                    cfg.sph_kernel, cool_core, engine,
+                    tail_shape=tail_shape)
                 its_since_build = 0
+                log("wvt_build", it=it, attempt=attempt,
+                    max_cand=state.max_cand, classes=class_shape,
+                    tail=tail_shape)
 
             out = iter_fn(pos_gas, h_prev, state.h_cap, state.cand.idx,
-                          state.cand.count, class_ids, ha)
+                          state.cand.count, class_ids, state.tail, ha)
             (rho, hsml, vf, delta_box, rho_model_s, err_max_d,
              err_mean_d, n_sat_d) = out
             n_sat = int(n_sat_d)
             if n_sat == 0:
                 break
             # saturation: the build-time search radius no longer covers
-            # the needed h — rebuild (with a grown cap after the first
-            # rebuilt attempt)
+            # the needed h — rebuild, growing the cap ONLY for the
+            # cap-limited lanes (a global grow inflates every window and
+            # explodes the far-tail row count)
+            grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
             parts = parts._replace(hsml=hsml)
             if its_since_build == 0:
                 cap_factor *= 1.6

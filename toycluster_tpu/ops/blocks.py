@@ -101,6 +101,7 @@ class CandidateList(NamedTuple):
     count: jnp.ndarray     # (nb,) true candidate counts
     overflow: jnp.ndarray  # () max(count) - M, positive means truncation
     sb_overflow: jnp.ndarray  # () superblock-budget excess (level 1)
+    sb_count: jnp.ndarray = None  # (nb,) level-1 superblock hit counts
 
 
 def default_max_super(ns: int, max_cand: int) -> int:
@@ -209,9 +210,10 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
         idx = _compact_left(hitb, cand, nb, max_cand)
         count = hitb.sum(axis=1)
         return (jnp.where(idx >= nb, -1, idx).astype(jnp.int32),
-                count, count.max() - max_cand, sb_over)
+                count, count.max() - max_cand, sb_over,
+                hit.sum(axis=1))
 
-    idx, count, over, sb_over = jax.lax.map(
+    idx, count, over, sb_over, sb_count = jax.lax.map(
         chunk_fn, (lo_pad.reshape(nchunk, _CAND_CHUNK, 3),
                    hi_pad.reshape(nchunk, _CAND_CHUNK, 3),
                    rad_pad.reshape(nchunk, _CAND_CHUNK),
@@ -219,4 +221,57 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
     return CandidateList(idx=idx.reshape(-1, max_cand)[:nb],
                          count=count.reshape(-1)[:nb],
                          overflow=over.max(),
-                         sb_overflow=sb_over.max())
+                         sb_overflow=sb_over.max(),
+                         sb_count=sb_count.reshape(-1)[:nb])
+
+
+@partial(jax.jit, static_argnames=("max_cand",))
+def find_candidates_super(bi: BlockIndex, rec_ids, radius, radius_sym,
+                          boxsize, *, max_cand: int) -> CandidateList:
+    """SUPERBLOCK-granular candidate lists for a subset of receiver
+    blocks — the far-tail rows whose block-granular lists overflow (their
+    bbox+radius windows sweep in the dense center's thousands of blocks;
+    SUPER-fold compression keeps the lists bounded with exact coverage,
+    the kernels mask the non-hit blocks of each hit superblock).
+
+    rec_ids: (T,) receiver block ids (-1 padded); radius/radius_sym are
+    the full (nb,) per-block arrays.  Ranges use the conservative
+    per-superblock max of the member radii, so the hit set is a superset
+    of the block-granular one."""
+    nb = bi.n_blocks
+    ns = bi.sb_lo.shape[0]
+
+    def pad_sb(r):
+        pad = jnp.full((ns * SUPER - nb,), 0.0, r.dtype)
+        return jnp.concatenate([r, pad])
+
+    sb_sym = pad_sb(radius_sym).reshape(ns, SUPER).max(axis=1)
+    t = rec_ids.shape[0]
+    nchunk = -(-t // _CAND_CHUNK)
+    rec_pad = jnp.concatenate(
+        [rec_ids, jnp.full((nchunk * _CAND_CHUNK - t,), -1, jnp.int32)])
+
+    def chunk_fn(rec):
+        idc = jnp.maximum(rec, 0)
+        lo_i = bi.bb_lo[idc]
+        hi_i = bi.bb_hi[idc]
+        rad_i = radius[idc]
+        sym_i = radius_sym[idc]
+        d2 = _interval_dist2(lo_i[:, None, :], hi_i[:, None, :],
+                             bi.sb_lo[None], bi.sb_hi[None], boxsize)
+        rng = jnp.maximum(rad_i[:, None],
+                          0.5 * (sym_i[:, None] + sb_sym[None, :]))
+        hit = (d2 <= rng * rng) & (rec >= 0)[:, None]
+        ids = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32),
+                               hit.shape)
+        idx = _compact_left(hit, ids, ns, max_cand)
+        count = hit.sum(axis=1)
+        return jnp.where(idx >= ns, -1, idx), count
+
+    idx, count = jax.lax.map(
+        chunk_fn, rec_pad.reshape(nchunk, _CAND_CHUNK))
+    idx = idx.reshape(-1, idx.shape[-1])[:t]
+    count = count.reshape(-1)[:t]
+    return CandidateList(idx=idx, count=count,
+                         overflow=count.max() - max_cand,
+                         sb_overflow=jnp.zeros((), jnp.int32))

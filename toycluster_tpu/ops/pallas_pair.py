@@ -33,7 +33,10 @@ from .blocks import BLOCK
 
 _SWEEPS = 8  # Newton/bisection sweeps (warm starts converge in <= ~4;
 #              unconverged lanes re-enter via the saturation retry loop)
-_SMEM_BUDGET = 1 << 19  # candidate lists ride in SMEM (~1MB): chunk rows
+_SMEM_BUDGET = 1 << 17  # scalar-prefetch candidate lists ride in SMEM —
+#                         keep well under the physical size (~1MB shared
+#                         with grid machinery; larger budgets produced
+#                         sporadic TPU runtime faults at scale)
 
 
 def _row_chunks(S: int, M: int) -> int:
@@ -88,6 +91,7 @@ _FAN = 8  # candidate blocks streamed per grid step (amortises step cost)
 
 
 def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
+                    sb_nb,                       # >0: superblock mode
                     cand_ref,                    # (S, M) scalar prefetch
                     xi_ref,                      # (1, 3, B)
                     *rest):
@@ -119,7 +123,9 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
     h = st_ref[_H, :]
     done = st_ref[_DONE, :] > 0.5
-    any_valid = cand_ref[s, m * _FAN] >= 0  # lists are sorted: slot 0 first
+    # lists are sorted: slot 0 first.  sb mode: one superblock per m step
+    any_valid = (cand_ref[s, m] >= 0 if sb_nb
+                 else cand_ref[s, m * _FAN] >= 0)
     last_sweep = k == n_sweeps - 1
 
     # skip converged blocks, but the last sweep always accumulates — it
@@ -135,9 +141,14 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             dd = xjd - xi[d][None, :]
             dd = dd - boxsize * jnp.round(dd / boxsize)
             r2 += dd * dd
+        if sb_nb:
+            ok = [((cand_ref[s, m] >= 0)
+                   & (cand_ref[s, m] * _FAN + f < sb_nb))
+                  for f in range(_FAN)]
+        else:
+            ok = [cand_ref[s, m * _FAN + f] >= 0 for f in range(_FAN)]
         vj = jnp.concatenate(
-            [vj_refs[f][0, 0, :][:, None]
-             * (cand_ref[s, m * _FAN + f] >= 0).astype(jnp.float32)
+            [vj_refs[f][0, 0, :][:, None] * ok[f].astype(jnp.float32)
              for f in range(_FAN)], axis=0)               # (F*B, 1)
         r = jnp.sqrt(r2)
         hb = h[None, :]
@@ -206,6 +217,7 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 # -------------------------------------------------------------------------
 
 def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
+                  sb_nb,                     # >0: superblock mode, = nb
                   cand_ref,                  # (S, M) scalar prefetch
                   cnt_ref,                   # (S,) true candidate counts
                   *rest):
@@ -228,17 +240,24 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
     f32 = jnp.float32
 
     # cache this fan of candidate tiles (aligned 8-row group stores);
-    # groups entirely past the true count are never read — skip the copy
-    @pl.when(m * _FAN < cnt_ref[s])
+    # groups entirely past the true count are never read — skip the copy.
+    # In superblock mode each grid step m holds ONE superblock: slot f is
+    # block cand[s,m]*FAN+f, masked where it runs past the real blocks.
+    @pl.when((m * _FAN < cnt_ref[s]) if sb_nb == 0 else (m < cnt_ref[s]))
     def _():
         row = pl.multiple_of(m * _FAN, _FAN)
         for d in range(3):
             xsc[d][pl.ds(row, _FAN), :] = jnp.concatenate(
                 [pos_refs[f][0, d:d + 1, :] for f in range(_FAN)], axis=0)
+        if sb_nb == 0:
+            ok = [(cand_ref[s, m * _FAN + f] >= 0).astype(f32)
+                  for f in range(_FAN)]
+        else:
+            ok = [((cand_ref[s, m] >= 0)
+                   & (cand_ref[s, m] * _FAN + f < sb_nb)).astype(f32)
+                  for f in range(_FAN)]
         hsc[pl.ds(row, _FAN), :] = jnp.concatenate(
-            [hm_refs[f][0, 0:1, :]
-             * (cand_ref[s, m * _FAN + f] >= 0).astype(f32)
-             for f in range(_FAN)], axis=0)
+            [hm_refs[f][0, 0:1, :] * ok[f] for f in range(_FAN)], axis=0)
 
     @pl.when((m == n_m - 1) & (cnt_ref[s] > 0))
     def _():
@@ -247,7 +266,9 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
         cap = recv_refs[4][0]
         hm_i = recv_refs[5][0]
         # dynamic trip count: only the groups that hold real candidates
-        n_grp = (cnt_ref[s] + _FAN - 1) // _FAN
+        # (in superblock mode one group == one superblock == one m step)
+        n_grp = (cnt_ref[s] if sb_nb else
+                 (cnt_ref[s] + _FAN - 1) // _FAN)
 
         def pair_sums(h):
             """Kernel-weight sums at h: per-lane factors (1/h powers, the
@@ -404,10 +425,10 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
 
 @partial(jax.jit,
          static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
-                          "mpart", "boxsize"))
+                          "mpart", "boxsize", "sb_mode"))
 def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
                      mpart, boxsize, *, kernel="wc6", desnngb=295,
-                     n_sweeps=16, interpret=False):
+                     n_sweeps=16, interpret=False, sb_mode=False):
     """Fused density-solve + WVT-displacement for one count class.
 
     pos_blocks: (nb, 3, B) sorted coords; hm_blocks: (nb, 1, B) source
@@ -415,13 +436,17 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
     cand: (S, M) candidate ids (-1 padded); cnt: (S,) true candidate
     counts (0 on padded receiver rows); xi: (S, 3, B) receiver coords;
     h0, cap, hm_i: (S, B).
+    With sb_mode, cand holds SUPERBLOCK ids (ops/blocks.SUPER == _FAN
+    blocks each) — the far-tail rows whose block-granular lists would
+    overflow ride at 8x list compression with exact coverage.
     Returns (rho, hsml, var_fac, wk_ngb, done, delta) — delta is (S, B, 3)
     in box units, WITHOUT the step factor (caller applies step after the
     convergence decision, wvt_relax.c:100-101 ordering).
     """
     S, M = cand.shape
+    nb = pos_blocks.shape[0]
     f32 = jnp.float32
-    if M % _FAN:
+    if not sb_mode and M % _FAN:
         pad = _FAN - M % _FAN
         cand = jnp.concatenate(
             [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
@@ -434,15 +459,23 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
         h0[..., None].astype(f32), cap[..., None].astype(f32),
         hm_i[..., None].astype(f32)]
 
+    m_cache = M * _FAN if sb_mode else M
     kern = partial(_fused_kernel, kernel, float(desnngb), float(mpart),
-                   float(boxsize), n_sweeps, M)
+                   float(boxsize), n_sweeps, m_cache,
+                   nb if sb_mode else 0)
 
     def imap_s(s, m, cand_ref, cnt_ref):
         return (s, 0, 0)
 
     def make_imap_cand(f):
-        def imap(s, m, cand_ref, cnt_ref):
-            return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
+        if sb_mode:
+            def imap(s, m, cand_ref, cnt_ref):
+                return (jnp.minimum(
+                    jnp.maximum(cand_ref[s, m], 0) * _FAN + f, nb - 1),
+                    0, 0)
+        else:
+            def imap(s, m, cand_ref, cnt_ref):
+                return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
         return imap
 
     sc = _row_chunks(S, M)
@@ -458,7 +491,7 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(sc, M // _FAN),
+        grid=(sc, M if sb_mode else M // _FAN),
         in_specs=(
             [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(6)]
             + [pl.BlockSpec((1, 3, BLOCK), make_imap_cand(f))
@@ -467,7 +500,8 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
                for f in range(_FAN)]                              # hm_j
         ),
         out_specs=[pl.BlockSpec((1, BLOCK, 8), imap_s)],
-        scratch_shapes=[pltpu.VMEM((M, BLOCK), f32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((m_cache, BLOCK), f32)
+                        for _ in range(4)],
     )
 
     def run_chunk(chunk):
@@ -503,7 +537,7 @@ def _m4_flat(u):
     return jnp.where(u < 0.5, wi, jnp.where(u < 1.0, wo, 0.0))
 
 
-def _displacement_kernel(kernel_kind, boxsize,
+def _displacement_kernel(kernel_kind, boxsize, sb_nb,
                          cand_ref,                   # (S, M) prefetch
                          xi_ref,                     # (1, 3, B)
                          *rest):
@@ -524,7 +558,8 @@ def _displacement_kernel(kernel_kind, boxsize,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(cand_ref[s, m * _FAN] >= 0)
+    @pl.when(cand_ref[s, m] >= 0 if sb_nb
+             else cand_ref[s, m * _FAN] >= 0)
     def _():
         xi = xi_ref[0]
         h_i = hi_ref[0, 0, :]                       # (B,) receivers/lanes
@@ -539,9 +574,14 @@ def _displacement_kernel(kernel_kind, boxsize,
             dd = dd / boxsize                        # box units
             dx.append(dd)
             r2 += dd * dd
+        if sb_nb:
+            ok = [((cand_ref[s, m] >= 0)
+                   & (cand_ref[s, m] * _FAN + f < sb_nb))
+                  for f in range(_FAN)]
+        else:
+            ok = [cand_ref[s, m * _FAN + f] >= 0 for f in range(_FAN)]
         vj = jnp.concatenate(
-            [vj_refs[f][0, 0, :][:, None]
-             * (cand_ref[s, m * _FAN + f] >= 0).astype(jnp.float32)
+            [vj_refs[f][0, 0, :][:, None] * ok[f].astype(jnp.float32)
              for f in range(_FAN)], axis=0)
         h_j = jnp.concatenate([hj[0, 0, :][:, None] for hj in hj_refs],
                               axis=0)
@@ -564,36 +604,46 @@ def _displacement_kernel(kernel_kind, boxsize,
 
 
 @partial(jax.jit,
-         static_argnames=("kernel", "boxsize", "interpret"))
+         static_argnames=("kernel", "boxsize", "interpret", "sb_mode"))
 def wvt_displacement_pallas(pos_blocks, valid_blocks, h_blocks, cand, xi,
                             h_i, step, boxsize, *, kernel="wc6",
-                            interpret=False):
+                            interpret=False, sb_mode=False):
     """Pallas twin of pair_ops.wvt_displacement for one count class.
 
     pos_blocks: (nb, 3, B); valid_blocks, h_blocks: (nb, 1, B)
-    cand: (S, M); xi: (S, 3, B); h_i: (S, B) metric hsml (box units)
+    cand: (S, M) block ids (SUPERBLOCK ids with sb_mode);
+    xi: (S, 3, B); h_i: (S, B) metric hsml (box units)
     Returns (S, B, 3) box-unit displacements.
     """
     S, M = cand.shape
+    nb = pos_blocks.shape[0]
     f32 = jnp.float32
-    if M % _FAN:
+    if not sb_mode and M % _FAN:
         pad = _FAN - M % _FAN
         cand = jnp.concatenate(
             [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
         M += pad
-    kern = partial(_displacement_kernel, kernel, float(boxsize))
+    kern = partial(_displacement_kernel, kernel, float(boxsize),
+                   nb if sb_mode else 0)
 
     def imap_s(s, m, cand_ref):
         return (s, 0, 0)
 
     def make_imap_cand(f):
-        def imap(s, m, cand_ref):
-            return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
+        if sb_mode:
+            def imap(s, m, cand_ref):
+                return (jnp.minimum(
+                    jnp.maximum(cand_ref[s, m], 0) * _FAN + f, nb - 1),
+                    0, 0)
+        else:
+            def imap(s, m, cand_ref):
+                return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
         return imap
 
+    n_m = M if sb_mode else M // _FAN
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S, M // _FAN),
+        grid=(S, n_m),
         in_specs=(
             [pl.BlockSpec((1, 3, BLOCK), imap_s)]            # xi
             + [pl.BlockSpec((1, 3, BLOCK), make_imap_cand(f))
@@ -624,7 +674,7 @@ def wvt_displacement_pallas(pos_blocks, valid_blocks, h_blocks, cand, xi,
         (o,) = pl.pallas_call(
             kern, grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(sc, M // _FAN),
+                grid=(sc, n_m),
                 in_specs=grid_spec.in_specs,
                 out_specs=grid_spec.out_specs,
                 scratch_shapes=grid_spec.scratch_shapes,
@@ -641,15 +691,17 @@ def wvt_displacement_pallas(pos_blocks, valid_blocks, h_blocks, cand, xi,
 
 @partial(jax.jit,
          static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
-                          "mpart", "boxsize"))
+                          "mpart", "boxsize", "sb_mode"))
 def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
                          mpart, boxsize, *, kernel="wc6", desnngb=295,
-                         n_sweeps=_SWEEPS, interpret=False):
+                         n_sweeps=_SWEEPS, interpret=False,
+                         sb_mode=False):
     """Pallas twin of pair_ops.solve_density for one count class.
 
     pos_blocks:   (nb, 3, B) sorted coords, transposed block layout
     valid_blocks: (nb, 1, B) f32 source validity
-    cand:         (S, M) candidate block ids (-1 padded)
+    cand:         (S, M) candidate block ids (-1 padded); SUPERBLOCK ids
+                  with sb_mode (far-tail rows, 8x list compression)
     xi:           (S, 3, B) receiver coords (pre-gathered)
     h0, cap:      (S, B)
     Returns (rho, hsml, var_fac, wk_ngb, done, saturated), each (S, B).
@@ -658,28 +710,35 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
     nb = pos_blocks.shape[0]
     f32 = jnp.float32
     # pad candidate lists to a multiple of the per-step fan-out
-    if M % _FAN:
+    if not sb_mode and M % _FAN:
         pad = _FAN - M % _FAN
         cand = jnp.concatenate(
             [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
         M += pad
     kern = partial(_density_kernel, kernel, float(desnngb), float(mpart),
-                   float(boxsize), n_sweeps)
+                   float(boxsize), n_sweeps, nb if sb_mode else 0)
 
     def imap_s(s, k, m, cand_ref):
         return (s, 0, 0)
 
     def make_imap_cand(f):
-        def imap(s, k, m, cand_ref):
-            return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
+        if sb_mode:
+            def imap(s, k, m, cand_ref):
+                return (jnp.minimum(
+                    jnp.maximum(cand_ref[s, m], 0) * _FAN + f, nb - 1),
+                    0, 0)
+        else:
+            def imap(s, k, m, cand_ref):
+                return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
         return imap
 
     def imap_flat(s, k, m, cand_ref):
         return (s, 0, 0)
 
+    n_m = M if sb_mode else M // _FAN
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S, n_sweeps, M // _FAN),
+        grid=(S, n_sweeps, n_m),
         in_specs=(
             [pl.BlockSpec((1, 3, BLOCK), imap_s)]            # xi
             + [pl.BlockSpec((1, 3, BLOCK), make_imap_cand(f))
@@ -718,7 +777,7 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
         return pl.pallas_call(
             kern, grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(sc, n_sweeps, M // _FAN),
+                grid=(sc, n_sweeps, n_m),
                 in_specs=grid_spec.in_specs,
                 out_specs=grid_spec.out_specs,
                 scratch_shapes=grid_spec.scratch_shapes,
