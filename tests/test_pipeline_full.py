@@ -70,3 +70,107 @@ def test_density_vs_model_written(result):
     # RHOM block lets consumers check convergence offline (io.c:218-224)
     err = np.abs(snap["rho"] - snap["rho_model"]) / snap["rho_model"]
     assert np.median(err) < 0.25
+
+
+def test_internal_energy_tracks_analytic():
+    """u(r) table vs the Donnert+16 closed form (temperature.c:51-83).
+    The reference evaluates both per particle; they differ systematically
+    by the rcut^4 taper in the tabulated gas mass (~20% here), so the
+    oracle catches unit/sign/shape regressions, not the taper."""
+    import jax.numpy as jnp
+    from toycluster_tpu.scene import build_scene
+    from toycluster_tpu.models.tables import build_energy_table
+    from toycluster_tpu.models.temperature import internal_energy_analytic
+    from toycluster_tpu.ops.interp import SplineTable, spline_eval
+
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=20000)
+    scene = build_scene(cfg)
+    h = scene.halos[0]
+    etab = build_energy_table(
+        h.mass_table, rho0=h.rho0, beta=h.beta, rc=h.rcore, rcut=h.rcut,
+        is_cuspy=h.have_cuspy, a_hernq=h.a_hernq, mdm=h.mass_dm,
+        boxsize=scene.boxsize, G=scene.units.G,
+        no_rcut_in_t=cfg.no_rcut_in_t, cool_core=None)
+    r = np.geomspace(0.02 * h.r200, 0.8 * h.r200, 40)
+    u_tab = np.asarray(spline_eval(SplineTable.from_host(etab.spline),
+                                   jnp.asarray(r)))
+    u_ana = internal_energy_analytic(scene, 0, r)
+    rel = np.abs(u_tab - u_ana) / u_ana
+    assert np.median(rel) < 0.25
+    assert rel.max() < 0.35
+    # both profiles decline outward beyond the core
+    assert u_tab[-1] < u_tab[len(r) // 2] < 1.5 * u_tab[0]
+
+
+def test_wvt_converges_to_model(result_m4):
+    """Tight convergence contract at test scale: with the M4/50 kernel the
+    relaxed SPH density must track the analytic model to ~6% median
+    (the reference's printed per-iteration error is its oracle,
+    wvt_relax.c:91-92)."""
+    scene, parts, snap = result_m4
+    rho = np.asarray(parts.rho)
+    rho_model = np.asarray(parts.rho_model)
+    rel = np.abs(rho - rho_model) / rho_model
+    assert np.median(rel) < 0.06
+    assert np.percentile(rel, 90) < 0.25
+
+
+@pytest.fixture(scope="module")
+def result_m4(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ics") / "ic_m4")
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=16000, wvt_max_iter=14, sph_kernel="m4", output_file=out)
+    scene, parts = make_ics(cfg, log=silent_log)
+    return scene, parts, read_snapshot(out)
+
+
+def test_temperature_profile_physical(result_m4):
+    """Central temperature within the expected keV band for a 1e15 Msun
+    cluster and declining beyond the core (Donnert+16 fig. 1 shape)."""
+    scene, parts, snap = result_m4
+    n_gas = scene.npart_gas
+    pos = np.asarray(parts.pos[:n_gas]) - scene.boxhalf
+    r = np.linalg.norm(pos, axis=1)
+    u = np.asarray(parts.u)
+    T = np.array([scene.units.u2t(x) for x in u])
+    h = scene.halos[0]
+    core = T[r < 0.2 * h.r200]
+    outer = T[(r > 0.8 * h.r200) & (r < 1.2 * h.r200)]
+    # ~1e15 Msun cluster: core temperature of order 1e7.5-1e8.5 K
+    assert 3e7 < np.median(core) < 5e8
+    assert np.median(outer) < np.median(core)
+
+
+def test_substructure_merger_end_to_end(tmp_path_factory):
+    """Config-4 shape at test scale (unequal-mass merger + Giocoli
+    substructure) through the FULL pipeline: subhalo gas bulk velocities
+    are WC2-tapered (velocities.c:119-151) and subhalo |B| respects the
+    2 uG cap (magnetic_field.c:113-114)."""
+    from toycluster_tpu.models.bfield import BMAX_SUB
+
+    out = str(tmp_path_factory.mktemp("ics") / "ic_sub")
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=12000, wvt_max_iter=5, sph_kernel="m4",
+        mass_ratio=1.0 / 3.0, substructure=True, report_subhalos=True,
+        output_file=out)
+    scene, parts = make_ics(cfg, log=silent_log)
+    assert scene.nhalos > scene.sub_first, "no subhalos sampled"
+
+    snap = read_snapshot(out)
+    n_gas = scene.npart_gas
+    halo = np.asarray(parts.halo[:n_gas])
+    sub_gas = halo >= scene.sub_first
+    if sub_gas.any():
+        b = np.linalg.norm(snap["bfld"][:n_gas], axis=1)
+        assert (b[sub_gas] <= BMAX_SUB * (1 + 1e-5)).all()
+    # merger kinematics are fixed in Setup() BEFORE substructure
+    # (main.c:40-44): the substructure population must not alter them
+    from toycluster_tpu.scene import build_scene
+    base = build_scene(cfg.replace(substructure=False))
+    v0, v1 = scene.vel_merger
+    assert v0 * v1 < 0
+    assert (v0, v1) == pytest.approx(base.vel_merger, rel=1e-12)
+    # every block present and finite
+    assert np.isfinite(snap["pos"]).all()
+    assert (snap["rho"] > 0).all() and (snap["u"] > 0).all()

@@ -325,20 +325,31 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
         h0_sorted = _pad_sorted(h0, bi.order, bi.n_padded)
 
         if _engine() == "pallas":
-            from ..ops.pallas_pair import solve_density_pallas
+            from ..ops.pallas_pair import (fused_wvt_pallas,
+                                           solve_density_pallas)
             nb = bi.n_blocks
             pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
-            valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+            valid_f = bi.valid.astype(jnp.float32)
+            valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(
+                jnp.float32)
             h0_b = h0_sorted.reshape(nb, blk.BLOCK)
             cap_b = state.h_cap.reshape(nb, blk.BLOCK)
+            # source-validity mask rides in the hm plane of the fused
+            # kernel; the displacement pass is compiled out
+            vm_blocks = valid_f.reshape(nb, 1, blk.BLOCK)
 
             def density_class(sel, m):
                 idc = jnp.maximum(sel.ids, 0)
-                out = solve_density_pallas(
-                    pos_t, valid_t, sel.cand, pos_t[idc], h0_b[idc],
-                    cap_b[idc], float(mpart), float(boxsize),
-                    kernel=cfg.sph_kernel, desnngb=desnngb)
-                return [o.reshape(-1) for o in out]
+                cnt = jnp.where(sel.ids >= 0, state.cand.count[idc], 0)
+                rho, h, vf, wk, done, _ = fused_wvt_pallas(
+                    pos_t, vm_blocks, sel.cand, cnt, pos_t[idc],
+                    h0_b[idc], cap_b[idc], h0_b[idc], float(mpart),
+                    float(boxsize), kernel=cfg.sph_kernel,
+                    desnngb=desnngb, do_disp=False)
+                sat = (~done) | (h >= cap_b[idc] * 0.999)
+                return [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
+                        wk.reshape(-1), done.reshape(-1),
+                        sat.reshape(-1)]
 
             def density_tail(ids, sb_rows, sb_cnt):
                 idc = jnp.maximum(ids, 0)

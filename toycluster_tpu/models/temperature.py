@@ -44,3 +44,34 @@ def make_temperatures(scene: Scene, parts: Particles) -> Particles:
                       spline_eval(table, r).astype(jnp.float32), u)
 
     return parts._replace(u=u)
+
+
+def internal_energy_analytic(scene: Scene, i: int, r):
+    """Donnert+2016 closed-form u(r) for the untapered beta=2/3 model
+    (temperature.c:51-83) — the reference evaluates it per particle as a
+    cross-check oracle next to the tabulated hydrostatic solution; we use
+    it the same way in tests (valid where r << rcut)."""
+    import numpy as np
+
+    from .. import constants as const
+
+    h = scene.halos[i]
+    G = scene.units.G
+    rho0, a, rc = h.rho0, h.a_hernq, h.rcore
+    rmax = scene.boxsize              # "open" T boundary
+    mdm = h.mass_dm
+    r = np.asarray(r, np.float64)
+
+    def f1(x):
+        rc2, a2 = rc * rc, a * a
+        res = ((a2 - rc2) * np.arctan(x / rc) - rc * (a2 + rc2) / (a + x)
+               + a * rc * np.log((a + x) ** 2 / (rc2 + x * x)))
+        return res * rc / (a2 + rc2) ** 2
+
+    def f2(x):
+        return (np.arctan(x / rc) ** 2 / (2 * rc)
+                + np.arctan(x / rc) / x)
+
+    return (G / (const.ADIABATIC_INDEX - 1.0) * (1.0 + (r / rc) ** 2)
+            * (mdm * (f1(rmax) - f1(r))
+               + 4.0 * const.PI * rho0 * rc ** 3 * (f2(rmax) - f2(r))))

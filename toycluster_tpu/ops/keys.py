@@ -40,11 +40,6 @@ def morton_keys(pos, boxsize):
     return (x << 2) | (y << 1) | z
 
 
-def morton_order(pos, boxsize):
-    """Permutation sorting particles along the Z-order curve."""
-    return jnp.argsort(morton_keys(pos, boxsize))
-
-
 def _axes_to_transpose(x, y, z, bits):
     """Skilling 2004 AxestoTranspose, vectorised branch-free over lanes.
     Bit-plane loops are static Python loops (trace-friendly)."""

@@ -218,6 +218,7 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
 def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
                   sb_nb,                     # >0: superblock mode, = nb
+                  do_disp,                   # False: density solve only
                   cand_ref,                  # (S, M) scalar prefetch
                   cnt_ref,                   # (S,) true candidate counts
                   *rest):
@@ -407,10 +408,13 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
             return acc
 
         zero3 = (zero, zero, zero)
-        delta = jax.lax.fori_loop(0, n_grp, dbody, zero3)
-        dnorm = hm_i * (1.0 if kernel_kind == "m4"
-                        else 1365.0 / (64.0 * const.PI))
-        delta = tuple(dnorm * delta[d] for d in range(3))
+        if do_disp:
+            delta = jax.lax.fori_loop(0, n_grp, dbody, zero3)
+            dnorm = hm_i * (1.0 if kernel_kind == "m4"
+                            else 1365.0 / (64.0 * const.PI))
+            delta = tuple(dnorm * delta[d] for d in range(3))
+        else:
+            delta = zero3
 
         out_ref[0, :, 0:1] = rho_out
         out_ref[0, :, 1:2] = h
@@ -425,10 +429,11 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
 
 @partial(jax.jit,
          static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
-                          "mpart", "boxsize", "sb_mode"))
+                          "mpart", "boxsize", "sb_mode", "do_disp"))
 def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
                      mpart, boxsize, *, kernel="wc6", desnngb=295,
-                     n_sweeps=16, interpret=False, sb_mode=False):
+                     n_sweeps=16, interpret=False, sb_mode=False,
+                     do_disp=True):
     """Fused density-solve + WVT-displacement for one count class.
 
     pos_blocks: (nb, 3, B) sorted coords; hm_blocks: (nb, 1, B) source
@@ -462,7 +467,7 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
     m_cache = M * _FAN if sb_mode else M
     kern = partial(_fused_kernel, kernel, float(desnngb), float(mpart),
                    float(boxsize), n_sweeps, m_cache,
-                   nb if sb_mode else 0)
+                   nb if sb_mode else 0, do_disp)
 
     def imap_s(s, m, cand_ref, cnt_ref):
         return (s, 0, 0)

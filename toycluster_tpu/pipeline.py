@@ -51,6 +51,9 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
         scene = setup_substructure(scene, seed=cfg.seed + 7)
         log("substructure", nhalos=scene.nhalos,
             nsub=scene.nhalos - scene.sub_first)
+        if cfg.report_subhalos and log is stage_log:
+            from .utils import logging as tlog
+            tlog.report_subhalos(scene)  # substructure.c:74-103
 
     ha = halo_arrays_from_scene(scene)
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)

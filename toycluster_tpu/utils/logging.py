@@ -138,3 +138,32 @@ def report_kinematics(scene):
        f"   Impact Parameter    = {cfg.impact_param:g} kpc\n"
        f"   CoM Impact of <0>   = {h0.d_com[1]:g} kpc\n"
        f"   CoM Impact of <1>   = {h1.d_com[1]:g} kpc\n")
+
+
+def report_subhalos(scene):
+    """REPORTSUBHALOS per-subhalo table (substructure.c:74-103)."""
+    for h in scene.halos[scene.sub_first:]:
+        _p(f"Subhalo <{h.index}> :\n"
+           f"   Npart         = {h.npart_gas}, {h.npart_dm} \n"
+           f"   Mass          = {h.mtotal:g} | {h.mass_gas:g}"
+           f" {h.mass_dm:g} \n"
+           f"   Mass200       = {h.mtotal200:g} | {h.mass200_gas:g}"
+           f" {h.mass200_dm:g} \n"
+           f"   bf in rsample = "
+           f"{h.mass_gas / h.mtotal if h.mtotal else 0.0:g} \n"
+           f"   Mass Fraction = "
+           f"{h.mtotal200 / scene.halos[0].mtotal:g} \n"
+           f"   DM  Mass      = {h.mass_dm:g} \n"
+           f"   Gas Mass      = {h.mass_gas:g} \n"
+           f"   c_nfw         = {h.c_nfw:g} \n"
+           f"   r_sample      = {h.r_sample_dm:g} \n"
+           f"   R200          = {h.r200:g} \n"
+           f"   r_s           = {h.rs:g} \n"
+           f"   Hernquist a   = {h.a_hernq:g} \n"
+           f"   core radius   = {h.rcore:g} \n"
+           f"   rho0          = {h.rho0:g} \n"
+           f"   MassCorrect.  = {h.mass_corr_fac:g} \n"
+           f"   x, y, z       = {h.d_com[0]:g} {h.d_com[1]:g}"
+           f" {h.d_com[2]:g}\n"
+           f"   vx,vy,vz      = {h.bulk_vel[0]:g} {h.bulk_vel[1]:g}"
+           f" {h.bulk_vel[2]:g}")
