@@ -220,3 +220,140 @@ def test_superblock_tail_mode_matches_block_lists(setup):
     np.testing.assert_allclose(
         np.asarray(d_f).reshape(-1, 3)[v] * 0.01, a, rtol=2e-4,
         atol=1e-6 * max(np.abs(a).max(), 1e-30))
+
+
+def test_distance_skip_is_exact(setup):
+    """The per-candidate-block distance-skip (gdist/dkeep) prunes only
+    blocks whose every pair lies outside the kernel support, so the fused
+    kernel must return BIT-IDENTICAL results with and without it."""
+    from toycluster_tpu.ops.pallas_pair import fused_wvt_pallas
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    h_box = h0s / BOX
+    hm_src = jnp.where(bi.valid, h_box, 0.0)
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    hm_blocks = hm_src.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+    h0_b = h0s.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    hm_b = h_box.reshape(nb, blk.BLOCK)
+
+    base = fused_wvt_pallas(
+        pos_t, hm_blocks, cand.idx, cand.count, pos_t, h0_b, cap_b,
+        hm_b, 1.0, BOX, kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+        interpret=True)
+
+    # exact bounds from the block bboxes (as the production callers do)
+    rowsc = jnp.maximum(cand.idx, 0)
+    ids = jnp.arange(nb)
+    d2 = blk._interval_dist2(
+        bi.bb_lo[ids][:, None], bi.bb_hi[ids][:, None],
+        bi.bb_lo[rowsc], bi.bb_hi[rowsc], BOX)
+    gd = jnp.where(cand.idx >= 0, jnp.sqrt(d2), jnp.inf)
+    bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
+    hmi_max = hm_b.max(axis=1)
+    dk = gd <= 0.5 * (hmi_max[:, None] + bhm[rowsc]) * BOX
+
+    # sanity: the bounds actually prune something on this setup
+    assert bool((gd[cand.idx >= 0] > 0).any())
+
+    skip = fused_wvt_pallas(
+        pos_t, hm_blocks, cand.idx, cand.count, pos_t, h0_b, cap_b,
+        hm_b, 1.0, BOX, kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+        interpret=True, gdist=gd, dkeep=dk)
+
+    for a, b in zip(base, skip):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stream_kernel_matches_xla(setup):
+    """The v3 stream kernel (grid over rows, in-kernel double-buffered
+    DMA with dynamic trip counts) must reproduce the XLA density solve
+    and displacement, block-lists and superblock (tail) mode alike."""
+    from toycluster_tpu.ops.pallas_pair import stream_wvt_pallas
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    sel = pair_ops.full_selection(bi, cand.idx)
+    res = pair_ops.solve_density(bi, sel, h0s, cap, 1.0, BOX,
+                                 kernel="wc6", desnngb=DESNNGB,
+                                 max_iter=24)
+    h_box = h0s / BOX
+    hm_sorted = jnp.where(bi.valid, h_box, 0.0)
+    d_xla = pair_ops.wvt_displacement(bi, sel, h_box, 1.0, BOX)
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    hm_blocks = hm_sorted.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
+    src = jnp.concatenate([pos_t, hm_blocks], axis=1)
+    h0_b = h0s.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    hm_b = h_box.reshape(nb, blk.BLOCK)
+
+    ids = jnp.arange(nb)
+    rowsc = jnp.maximum(cand.idx, 0)
+    d2 = blk._interval_dist2(
+        bi.bb_lo[ids][:, None], bi.bb_hi[ids][:, None],
+        bi.bb_lo[rowsc], bi.bb_hi[rowsc], BOX)
+    gd = jnp.where(cand.idx >= 0, jnp.sqrt(d2), jnp.inf)
+    bhm = hm_sorted.reshape(nb, blk.BLOCK).max(axis=1)
+    dk = gd <= 0.5 * (hm_b.max(axis=1)[:, None] + bhm[rowsc]) * BOX
+
+    rho, h, vf, wk, done, delta = stream_wvt_pallas(
+        src, cand.idx, cand.count, pos_t, h0_b, cap_b, hm_b, 1.0, BOX,
+        gd, dk, kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+        interpret=True)
+
+    v = np.asarray(bi.valid)
+    done_x = np.asarray(res.done) & v
+    done_p = np.asarray(done).reshape(-1) & v
+    assert done_p.sum() >= 0.97 * done_x.sum()
+    both = done_x & done_p
+    np.testing.assert_allclose(np.asarray(h).reshape(-1)[both],
+                               np.asarray(res.hsml)[both], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(rho).reshape(-1)[both],
+                               np.asarray(res.rho)[both], rtol=2e-3)
+    wk_p = np.asarray(wk).reshape(-1)[both]
+    assert np.abs(wk_p - DESNNGB).max() < 0.05 + 1e-3
+    a = np.asarray(d_xla)[v]
+    b = np.asarray(delta).reshape(-1, 3)[v]
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6 * scale)
+
+    # superblock (tail) mode on a handful of receivers
+    radius = cap.reshape(nb, blk.BLOCK).max(axis=1)
+    rec = jnp.asarray(np.array([0, 3, nb - 1, -1], np.int32))
+    cand_sb = blk.find_candidates_super(bi, rec, radius, radius, BOX,
+                                        max_cand=max(4, bi.sb_lo.shape[0]))
+    assert int(cand_sb.overflow) <= 0
+    idc = jnp.maximum(rec, 0)
+    from toycluster_tpu.models.sph import expand_tail_rows
+    exp = expand_tail_rows(cand_sb.idx, nb)
+    rowsc = jnp.maximum(exp, 0)
+    d2 = blk._interval_dist2(
+        bi.bb_lo[idc][:, None], bi.bb_hi[idc][:, None],
+        bi.bb_lo[rowsc], bi.bb_hi[rowsc], BOX)
+    gds = jnp.where(exp >= 0, jnp.sqrt(d2), jnp.inf)
+    dks = gds <= 0.5 * (hm_b[idc].max(axis=1)[:, None]
+                        + bhm[rowsc]) * BOX
+    cnt = jnp.where(rec >= 0, cand_sb.count, 0)
+    rho_s, h_s, _, wk_s, done_s, d_s = stream_wvt_pallas(
+        src, cand_sb.idx, cnt, pos_t[idc], h0_b[idc], cap_b[idc],
+        hm_b[idc], 1.0, BOX, gds, dks, kernel="wc6", desnngb=DESNNGB,
+        n_sweeps=24, interpret=True, sb_mode=True)
+    vm = np.asarray(bi.valid).reshape(nb, blk.BLOCK)[
+        np.maximum(np.asarray(rec), 0)].reshape(-1)
+    vm &= np.repeat(np.asarray(rec) >= 0, blk.BLOCK)
+    both = vm & np.asarray(done_s).reshape(-1) & np.asarray(res.done)[
+        (np.maximum(np.asarray(rec), 0)[:, None] * blk.BLOCK
+         + np.arange(blk.BLOCK)).reshape(-1)]
+    assert both.sum() > 0.9 * vm.sum()
+    ref_idx = (np.maximum(np.asarray(rec), 0)[:, None] * blk.BLOCK
+               + np.arange(blk.BLOCK)).reshape(-1)
+    np.testing.assert_allclose(np.asarray(h_s).reshape(-1)[both],
+                               np.asarray(res.hsml)[ref_idx][both],
+                               rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(d_s).reshape(-1, 3)[vm],
+        np.asarray(d_xla)[ref_idx][vm], rtol=2e-4,
+        atol=1e-6 * scale)

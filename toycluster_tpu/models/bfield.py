@@ -70,10 +70,13 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
         return parts
     parts = set_vector_potential(scene, ha, parts)
 
-    if state is None:
+    if state is None or state.sb:
+        # the curl below runs through the XLA pair operator, which needs
+        # BLOCK-granular candidate lists — a superblock-granular state
+        # (pallas stream engine) cannot be consumed directly
         h_gas = parts.hsml[:n_gas]
-        state = sph_mod.build_neighbours(parts.pos[:n_gas], h_gas,
-                                         scene.boxsize)
+        state = sph_mod._build_neighbours_blocks(
+            parts.pos[:n_gas], h_gas, scene.boxsize)
         # positions are already block-ordered; order must be identity
     bi = state.index
 

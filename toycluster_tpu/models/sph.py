@@ -90,6 +90,8 @@ class NeighbourState(NamedTuple):
     h_cap: jnp.ndarray     # (P,) padded sorted layout
     max_cand: int
     tail: Optional[tuple] = None
+    sb: bool = False       # cand.idx holds SUPERBLOCK ids (pallas
+    #                        engine: one group DMA per entry; no tail)
 
 
 def _pad_sorted(x, order, n_padded, fill_last=True):
@@ -106,8 +108,56 @@ def _pad_sorted(x, order, n_padded, fill_last=True):
 _LAST_MAX_CAND: dict = {}
 
 
+def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
+                         symmetric=False, radius_sym_gas=None):
+    """Superblock-granular candidate lists for EVERY receiver block —
+    the pallas stream engine's structure.  One level-1 bbox sweep, no
+    per-block compaction, no far-tail special case: member blocks that
+    miss the range are pruned per iteration by the stream kernel's skip
+    bits, which re-test the exact per-block criterion against CURRENT
+    positions (fresher than any build-time level 2)."""
+    key = ("sball", symmetric, radius_sym_gas is not None)
+    bi = blk.build_blocks(pos_gas, boxsize)
+    h_cap = _pad_sorted(h_cap_gas, bi.order, bi.n_padded)
+    radius = h_cap.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
+    if radius_sym_gas is not None:
+        sym = _pad_sorted(radius_sym_gas, bi.order, bi.n_padded)
+        radius_sym = sym.reshape(bi.n_blocks, blk.BLOCK).max(axis=1)
+    elif symmetric:
+        radius_sym = radius
+        radius = jnp.zeros_like(radius)
+    else:
+        radius_sym = jnp.zeros_like(radius)
+    m_sb = min(_LAST_MAX_CAND.get(key, 192), bi.sb_lo.shape[0])
+    rec = jnp.arange(bi.n_blocks, dtype=jnp.int32)
+    while True:
+        cand = blk.find_candidates_super(bi, rec, radius, radius_sym,
+                                         boxsize, max_cand=m_sb)
+        over = int(cand.overflow)
+        if over <= 0:
+            break
+        m_sb = min(-(-int((m_sb + over) * 1.12) // 64) * 64,
+                   bi.sb_lo.shape[0])
+    _LAST_MAX_CAND[key] = m_sb
+    return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
+                          max_cand=m_sb, tail=None, sb=True)
+
+
 def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
                      symmetric=False, radius_sym_gas=None):
+    if _engine() == "pallas":
+        return _build_neighbours_sb(pos_gas, h_cap_gas, boxsize,
+                                    symmetric=symmetric,
+                                    radius_sym_gas=radius_sym_gas)
+    return _build_neighbours_blocks(pos_gas, h_cap_gas, boxsize,
+                                    max_cand=max_cand,
+                                    symmetric=symmetric,
+                                    radius_sym_gas=radius_sym_gas)
+
+
+def _build_neighbours_blocks(pos_gas, h_cap_gas, boxsize, *,
+                             max_cand=None, symmetric=False,
+                             radius_sym_gas=None):
     """Sort + block + candidate search; retries with larger candidate lists
     on overflow (host-checked).  With `radius_sym_gas` (per-particle, the
     WVT metric search length) the candidate range is the union of the
@@ -325,40 +375,35 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
         h0_sorted = _pad_sorted(h0, bi.order, bi.n_padded)
 
         if _engine() == "pallas":
-            from ..ops.pallas_pair import (fused_wvt_pallas,
-                                           solve_density_pallas)
+            from ..ops.pallas_pair import stream_wvt_pallas
             nb = bi.n_blocks
             pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
             valid_f = bi.valid.astype(jnp.float32)
-            valid_t = bi.valid.reshape(nb, 1, blk.BLOCK).astype(
-                jnp.float32)
-            h0_b = h0_sorted.reshape(nb, blk.BLOCK)
-            cap_b = state.h_cap.reshape(nb, blk.BLOCK)
-            # source-validity mask rides in the hm plane of the fused
+            # source-validity mask rides in the hm plane of the stream
             # kernel; the displacement pass is compiled out
             vm_blocks = valid_f.reshape(nb, 1, blk.BLOCK)
+            src_blocks = jnp.concatenate([pos_t, vm_blocks], axis=1)
+            h0_b = h0_sorted.reshape(nb, blk.BLOCK)
+            cap_b = state.h_cap.reshape(nb, blk.BLOCK)
 
-            def density_class(sel, m):
-                idc = jnp.maximum(sel.ids, 0)
-                cnt = jnp.where(sel.ids >= 0, state.cand.count[idc], 0)
-                rho, h, vf, wk, done, _ = fused_wvt_pallas(
-                    pos_t, vm_blocks, sel.cand, cnt, pos_t[idc],
-                    h0_b[idc], cap_b[idc], h0_b[idc], float(mpart),
-                    float(boxsize), kernel=cfg.sph_kernel,
-                    desnngb=desnngb, do_disp=False)
-                sat = (~done) | (h >= cap_b[idc] * 0.999)
+            def density_all():
+                # one full-row superblock-granular call: per-block
+                # distance bounds (exact here — positions fixed during
+                # the solve) prune the non-hit member blocks in-kernel
+                from ..ops.pallas_pair import stream_skip_bits
+                ids_all = jnp.arange(nb, dtype=jnp.int32)
+                bits = stream_skip_bits(
+                    bi.bb_lo, bi.bb_hi, None, ids_all, state.cand.idx,
+                    cap_b, None, float(boxsize), sb=True)
+                rho, h, vf, wk, done, _ = stream_wvt_pallas(
+                    src_blocks, state.cand.idx, state.cand.count, pos_t,
+                    h0_b, cap_b, h0_b, float(mpart), float(boxsize),
+                    kernel=cfg.sph_kernel, desnngb=desnngb,
+                    do_disp=False, sb_mode=True, bits=bits)
+                sat = (~done) | (h >= cap_b * 0.999)
                 return [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
                         wk.reshape(-1), done.reshape(-1),
                         sat.reshape(-1)]
-
-            def density_tail(ids, sb_rows, sb_cnt):
-                idc = jnp.maximum(ids, 0)
-                out = solve_density_pallas(
-                    pos_t, valid_t, sb_rows, pos_t[idc], h0_b[idc],
-                    cap_b[idc], float(mpart), float(boxsize),
-                    kernel=cfg.sph_kernel, desnngb=desnngb,
-                    sb_mode=True)
-                return [o.reshape(-1) for o in out]
         else:
             def density_class(sel, m):
                 return pair_ops.solve_density(
@@ -372,8 +417,11 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
                     bi, sel, h0_sorted, state.h_cap, mpart, boxsize,
                     kernel=cfg.sph_kernel, desnngb=desnngb)
 
-        res = pair_ops.DensityResult(
-            *run_classed(state, density_class, density_tail))
+        if _engine() == "pallas":
+            res = pair_ops.DensityResult(*density_all())
+        else:
+            res = pair_ops.DensityResult(
+                *run_classed(state, density_class, density_tail))
         # particles whose cap hit the global clamp keep their capped h
         still_growable = state.h_cap < (boxsize / 3.0) * 0.999
         n_sat = int((res.saturated & still_growable)[:n_gas].sum())

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as const
+from ..ops import blocks as blk
 from ..particles import HaloArrays, Particles
 from ..scene import Scene
 from ..utils.logging import stage_log
@@ -113,22 +114,39 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
 
         outs = [jnp.zeros((n_padded,), jnp.float32) for _ in range(5)]
         outs.append(jnp.zeros((n_padded, 3), jnp.float32))
-        for (m, s_rows), ids in zip(class_shape, class_ids):
-            idc = jnp.maximum(ids, 0)
-            rows = cand_idx[idc][:, :m]
-            rows = jnp.where((ids >= 0)[:, None], rows, -1)
-            cnt = jnp.where(ids >= 0, count[idc], 0)
-            if engine == "pallas":
-                from ..ops.pallas_pair import fused_wvt_pallas
-                rho, h, vf, wk, done, delta = fused_wvt_pallas(
-                    pos_t, hm_blocks, rows, cnt, pos_t[idc], h0_b[idc],
-                    cap_b[idc], hm_b[idc], float(mpart), float(boxsize),
-                    kernel=kernel, desnngb=desnngb)
-                res_list = [rho.reshape(-1), h.reshape(-1),
-                            vf.reshape(-1), wk.reshape(-1),
-                            done.reshape(-1).astype(jnp.float32),
-                            delta.reshape(-1, 3)]
-            else:
+        if engine == "pallas":
+            # v3 stream kernel: ONE superblock-granular call over every
+            # receiver row with dynamic per-row trip counts — no count
+            # classes, no padded grid steps, no far-tail special case,
+            # one program shape per list width.  cand_idx holds
+            # SUPERBLOCK ids (sph._build_neighbours_sb); the skip bits
+            # re-test each member block against CURRENT positions every
+            # iteration (median per-iteration drift is 1-10% of h, so
+            # build-time pruning would need ruinous margins).
+            from ..ops.pallas_pair import (stream_skip_bits,
+                                           stream_wvt_pallas)
+            src_blocks = jnp.concatenate([pos_t, hm_blocks], axis=1)
+            rows = cand_idx
+            cnt = jnp.minimum(count, rows.shape[1])
+            pos_b = pos_pad.reshape(nb, blk.BLOCK, 3)
+            bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
+            bits = stream_skip_bits(
+                pos_b.min(axis=1), pos_b.max(axis=1), bhm,
+                jnp.arange(nb, dtype=jnp.int32), rows, cap_b, hm_b,
+                float(boxsize), sb=True)
+            rho, h, vf, wk, done, delta = stream_wvt_pallas(
+                src_blocks, rows, cnt, pos_t, h0_b, cap_b, hm_b,
+                float(mpart), float(boxsize),
+                kernel=kernel, desnngb=desnngb, sb_mode=True, bits=bits)
+            outs = [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
+                    wk.reshape(-1), done.reshape(-1).astype(jnp.float32),
+                    delta.reshape(-1, 3)]
+        else:
+            for (m, s_rows), ids in zip(class_shape, class_ids):
+                idc = jnp.maximum(ids, 0)
+                rows = cand_idx[idc][:, :m]
+                rows = jnp.where((ids >= 0)[:, None], rows, -1)
+                cnt = jnp.where(ids >= 0, count[idc], 0)
                 bi = blk.BlockIndex(
                     order=jnp.arange(n_padded, dtype=jnp.int32),
                     pos=pos_pad, valid=valid,
@@ -143,12 +161,13 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                 res_list = [res.rho, res.hsml, res.var_hsml_fac,
                             res.wk_ngb, res.done.astype(jnp.float32),
                             delta]
-            pidx = (idc[:, None] * blk.BLOCK
-                    + jnp.arange(blk.BLOCK, dtype=jnp.int32)).reshape(-1)
-            pidx = jnp.where(jnp.repeat(ids >= 0, blk.BLOCK), pidx,
-                             n_padded)
-            for k, r in enumerate(res_list):
-                outs[k] = outs[k].at[pidx].set(r, mode="drop")
+                pidx = (idc[:, None] * blk.BLOCK
+                        + jnp.arange(blk.BLOCK,
+                                     dtype=jnp.int32)).reshape(-1)
+                pidx = jnp.where(jnp.repeat(ids >= 0, blk.BLOCK), pidx,
+                                 n_padded)
+                for k, r in enumerate(res_list):
+                    outs[k] = outs[k].at[pidx].set(r, mode="drop")
 
         if tail_shape is not None:
             # far-tail rows: superblock-granular lists via the v1
@@ -156,35 +175,9 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             # the VMEM cache of the fused kernel)
             t_ids, sb_rows, sb_cnt = tail
             idc = jnp.maximum(t_ids, 0)
-            if engine == "pallas" and tail_shape[1] * blk.SUPER <= 512:
-                # small tail: the fused kernel's VMEM cache still fits
-                from ..ops.pallas_pair import fused_wvt_pallas
-                rho, h, vf, wk, done, delta = fused_wvt_pallas(
-                    pos_t, hm_blocks, sb_rows, sb_cnt, pos_t[idc],
-                    h0_b[idc], cap_b[idc], hm_b[idc], float(mpart),
-                    float(boxsize), kernel=kernel, desnngb=desnngb,
-                    sb_mode=True)
-                res_list = [rho.reshape(-1), h.reshape(-1),
-                            vf.reshape(-1), wk.reshape(-1),
-                            done.reshape(-1).astype(jnp.float32),
-                            delta.reshape(-1, 3)]
-            elif engine == "pallas":
-                from ..ops.pallas_pair import (solve_density_pallas,
-                                               wvt_displacement_pallas)
-                valid_t = valid.reshape(nb, 1, blk.BLOCK).astype(
-                    jnp.float32)
-                out6 = solve_density_pallas(
-                    pos_t, valid_t, sb_rows, pos_t[idc], h0_b[idc],
-                    cap_b[idc], float(mpart), float(boxsize),
-                    kernel=kernel, desnngb=desnngb, sb_mode=True)
-                dlt = wvt_displacement_pallas(
-                    pos_t, valid_t, hm_blocks, sb_rows, pos_t[idc],
-                    hm_b[idc], 1.0, float(boxsize), kernel=kernel,
-                    sb_mode=True)
-                res_list = [out6[0].reshape(-1), out6[1].reshape(-1),
-                            out6[2].reshape(-1), out6[3].reshape(-1),
-                            out6[4].reshape(-1).astype(jnp.float32),
-                            dlt.reshape(-1, 3)]
+            if engine == "pallas":
+                raise RuntimeError(
+                    "superblock builds carry no far-tail rows")
             else:
                 bi = blk.BlockIndex(
                     order=jnp.arange(n_padded, dtype=jnp.int32),
@@ -217,8 +210,13 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                           1, 0).sum()
 
         err = jnp.abs(rho[:n_gas] - rho_model) / rho_model
+        # worst per-particle displacement in units of the local metric
+        # hsml (pre-step) — a drift diagnostic (median is 1-10% of h per
+        # iteration, which is why skip bits are recomputed every pass)
+        dmax_rel = jnp.max(jnp.linalg.norm(delta[:n_gas], axis=1)
+                           / jnp.maximum(hm_s[:n_gas], 1e-30))
         return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], delta[:n_gas],
-                rho_model, err.max(), err.mean(), n_sat)
+                rho_model, err.max(), err.mean(), n_sat, dmax_rel)
 
     _ITER_FN_CACHE[key] = iter_fn
     return iter_fn
@@ -227,18 +225,25 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
 def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                              parts: Particles, *, log=stage_log,
                              checkpoint_path: str | None = None,
-                             checkpoint_every: int = 16) -> Particles:
+                             checkpoint_every: int = 16,
+                             return_fresh: bool = False):
     """`checkpoint_path` enables WVT checkpoint/resume (absent in the
     reference — SURVEY.md §5): loop state (gas positions, step, error
     history, iteration) is saved as NPZ every `checkpoint_every`
-    iterations and restored on restart."""
+    iterations and restored on restart.
+
+    With `return_fresh`, returns (parts, fresh): fresh=True means the
+    loop stopped WITHOUT applying a final move, so parts.rho/hsml/
+    var_hsml_fac already hold the full-contract density solve at the
+    final positions — the pipeline's find_sph_quantities stage is then
+    redundant (the reference always re-runs it, main.c:52; we skip)."""
     import numpy as _np
     import os as _os
 
     cfg = scene.config
     n_gas = parts.n_gas
     if n_gas == 0:
-        return parts
+        return (parts, False) if return_fresh else parts
     boxsize = scene.boxsize
     mpart = scene.mpart_gas
     desnngb = cfg.desnngb
@@ -274,6 +279,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     iter_fn = None
     class_ids = None
     engine = sph_mod._engine()
+    fresh = False
 
     for it in range(it0, max_iter + 1):
         # --- fused iteration: ONE neighbour structure serves the density
@@ -316,9 +322,16 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 parts = sph_mod.permute_gas(parts, state.index.order)
                 pos_gas = parts.pos[:n_gas]
                 h_prev = parts.hsml[:n_gas]
-                sels = sph_mod.classed_selections(state)
-                class_shape = tuple((m, len(ids)) for m, ids in sels)
-                class_ids = tuple(jnp.asarray(ids) for _, ids in sels)
+                if engine == "pallas":
+                    # the stream kernel needs no count classes: one call
+                    # covers all rows at (nb, max_cand) — the program
+                    # shape depends only on the candidate width
+                    class_shape = ()
+                    class_ids = ()
+                else:
+                    sels = sph_mod.classed_selections(state)
+                    class_shape = tuple((m, len(ids)) for m, ids in sels)
+                    class_ids = tuple(jnp.asarray(ids) for _, ids in sels)
                 tail_shape = (None if state.tail is None else
                               (len(state.tail[0]),
                                state.tail[1].shape[1]))
@@ -335,7 +348,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             out = iter_fn(pos_gas, h_prev, state.h_cap, state.cand.idx,
                           state.cand.count, class_ids, state.tail, ha)
             (rho, hsml, vf, delta_box, rho_model_s, err_max_d,
-             err_mean_d, n_sat_d) = out
+             err_mean_d, n_sat_d, dmax_rel_d) = out
             n_sat = int(n_sat_d)
             if n_sat == 0:
                 break
@@ -369,8 +382,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         # applied only when the loop continues, with the post-shrink step
         # (wvt_relax.c:94-101 ordering)
         if err_diff < err_limit and it > 25:
+            fresh = True
             break
         if err_diff < 0 and err_diff_last < 0 and it > 10:
+            fresh = True
             break
         if err_diff < 0.01 and it > 1:
             step *= 0.8
@@ -387,4 +402,4 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                           err_last=err_last, err_diff_last=err_diff_last,
                           it=it)
 
-    return parts
+    return (parts, fresh) if return_fresh else parts

@@ -219,12 +219,18 @@ def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
                   sb_nb,                     # >0: superblock mode, = nb
                   do_disp,                   # False: density solve only
+                  qscale,                    # world-dist -> int quantizer
+                  fixed_sweeps,              # True: fori, per-lane freeze
                   cand_ref,                  # (S, M) scalar prefetch
                   cnt_ref,                   # (S,) true candidate counts
+                  gq_ref,                    # (S, m_pad) packed per-block
+                  #                            bounds: (dist_q<<1)|dkeep
+                  hq_ref,                    # (S,) per-row density skip
+                  #                            threshold (ceil(cap*q))
                   *rest):
     # rest: 6 x receiver columns (1,B,1) [x0,x1,x2,h0,cap,hm_i],
     #       F x pos (1,3,B), F x hm (1,1,B), out (1,B,8),
-    #       x0/x1/x2 scratch (M,B), hm scratch (M,B)
+    #       x0/x1/x2 scratch (M,B), hm scratch (M,B), acc scratch (B,8)
     # NB receiver scalars ride as separate (B,1) columns — slicing lanes
     # out of a packed (B,8) block gives lane-offset register layouts that
     # Mosaic cannot legalize through the while_loop carry (scf.yield)
@@ -234,6 +240,7 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
     out_ref = rest[6 + 2 * _FAN]
     xsc = rest[6 + 2 * _FAN + 1:6 + 2 * _FAN + 4]
     hsc = rest[6 + 2 * _FAN + 4]
+    acc_ref = rest[6 + 2 * _FAN + 5]
 
     s = pl.program_id(0)
     m = pl.program_id(1)
@@ -272,58 +279,76 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
                  (cnt_ref[s] + _FAN - 1) // _FAN)
 
         def pair_sums(h):
-            """Kernel-weight sums at h: per-lane factors (1/h powers, the
-            WC6 norm, the -22 of dW) are folded OUT of the pair loop —
-            the per-pair work is u, t-powers, two short Horner polys."""
+            """RAW kernel-weight sums at h (norm applied by callers):
+            per-lane factors (1/h powers, the WC6 norm, the -22 of dW)
+            are folded OUT of the pair loop — the per-pair work is u,
+            t-powers, two short Horner polys.  Candidate blocks whose
+            bbox distance bound (gq_ref, computed fresh against current
+            positions by the caller) exceeds the block's max h are
+            skipped: every pair they hold has u>1 and contributes an
+            exact 0, so the skip is a pure flop saving."""
             inv_h = 1.0 / h
             inv_h2 = inv_h * inv_h
+            acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
+            # per-row static threshold (ceil-quantized max cap, from the
+            # prologue): a vector->scalar max over the live h each sweep
+            # would be tighter but costs a cross-vector extraction that
+            # dominates low-count rows (measured ~3x the tile work)
+            hq = hq_ref[s]
 
-            def jbody(j, acc):
-                accw, accrdw = acc
-                jr = pl.multiple_of(j * _FAN, _FAN)
-                xd = [xsc[d][pl.ds(jr, _FAN), :] for d in range(3)]
-                hj = hsc[pl.ds(jr, _FAN), :]
+            def jbody(j, carry):
                 for f in range(_FAN):
-                    r2 = jnp.zeros((BLOCK, BLOCK), f32)
-                    for d in range(3):
-                        dd = xi[d] - xd[d][f:f + 1, :]
-                        dd = dd - boxsize * jnp.round(dd / boxsize)
-                        r2 += dd * dd
-                    vj = (hj[f:f + 1, :] > 0).astype(f32)
-                    if kernel_kind == "m4":
-                        r = jnp.sqrt(r2)
-                        w, dw = _m4_w_dw(r, h)
-                        accw += (w * vj).sum(axis=1, keepdims=True)
-                        accrdw += (r * dw * vj).sum(axis=1,
-                                                    keepdims=True)
-                    else:
-                        u = jnp.sqrt(r2 * inv_h2)
-                        t = jnp.maximum(1.0 - u, 0.0) * vj
-                        t2 = t * t
-                        t4 = t2 * t2
-                        t7 = t4 * t2 * t
-                        wpoly = 1.0 + u * (8.0 + u * (25.0 + 32.0 * u))
-                        dpoly = u * u * (1.0 + u * (7.0 + 16.0 * u))
-                        accw += (t4 * t4 * wpoly).sum(axis=1,
-                                                      keepdims=True)
-                        accrdw += (t7 * dpoly).sum(axis=1, keepdims=True)
-                return accw, accrdw
+                    @pl.when((gq_ref[s, j * _FAN + f] >> 1) <= hq)
+                    def _(f=f):
+                        jf = pl.multiple_of(j * _FAN, _FAN) + f
+                        r2 = jnp.zeros((BLOCK, BLOCK), f32)
+                        for d in range(3):
+                            dd = xi[d] - xsc[d][pl.ds(jf, 1), :]
+                            dd = dd - boxsize * jnp.round(dd / boxsize)
+                            r2 += dd * dd
+                        hjf = hsc[pl.ds(jf, 1), :]
+                        vj = (hjf > 0).astype(f32)
+                        if kernel_kind == "m4":
+                            r = jnp.sqrt(r2)
+                            w, dw = _m4_w_dw(r, h)
+                            acc_ref[:, 0:1] += (w * vj).sum(
+                                axis=1, keepdims=True)
+                            acc_ref[:, 1:2] += (r * dw * vj).sum(
+                                axis=1, keepdims=True)
+                        else:
+                            u = jnp.sqrt(r2 * inv_h2)
+                            t = jnp.maximum(1.0 - u, 0.0) * vj
+                            t2 = t * t
+                            t4 = t2 * t2
+                            t7 = t4 * t2 * t
+                            wpoly = 1.0 + u * (
+                                8.0 + u * (25.0 + 32.0 * u))
+                            dpoly = u * u * (1.0 + u * (7.0 + 16.0 * u))
+                            acc_ref[:, 0:1] += (t4 * t4 * wpoly).sum(
+                                axis=1, keepdims=True)
+                            acc_ref[:, 1:2] += (t7 * dpoly).sum(
+                                axis=1, keepdims=True)
+                return carry
 
-            zero = jnp.zeros((BLOCK, 1), f32)
-            aw, ardw = jax.lax.fori_loop(0, n_grp, jbody, (zero, zero))
-            if kernel_kind != "m4":
-                norm_h3 = (1365.0 / (64.0 * const.PI)) * inv_h * inv_h2
-                aw = aw * norm_h3
-                ardw = ardw * (-22.0 * norm_h3)
-            return aw, ardw
+            jax.lax.fori_loop(0, n_grp, jbody, 0)
+            return acc_ref[:, 0:1], acc_ref[:, 1:2]
+
+        def norm_sums(h, raw_w, raw_rdw):
+            if kernel_kind == "m4":
+                return raw_w, raw_rdw
+            inv_h = 1.0 / h
+            norm_h3 = (1365.0 / (64.0 * const.PI)) * inv_h**3
+            return raw_w * norm_h3, raw_rdw * (-22.0 * norm_h3)
 
         def newton(state):
             # `done` rides as f32 0/1 — Mosaic cannot legalize i1 vectors
-            # through the while_loop carry (scf.yield); sums are carried
-            # so the post-loop record needs no extra pair pass (frozen
-            # lanes' sums were computed at their final h)
-            k, h, lo, hi, done, _, _ = state
-            sum_w, sum_rdw = pair_sums(h)
+            # through the while_loop carry (scf.yield); sums live in the
+            # acc scratch so the post-loop record needs no extra pair
+            # pass (frozen lanes keep their h, so the last sweep's sums
+            # are exactly their final-h sums)
+            k, h, lo, hi, done = state
+            raw_w, raw_rdw = pair_sums(h)
+            sum_w, sum_rdw = norm_sums(h, raw_w, raw_rdw)
             wk_ngb = const.FOURPITHIRD * h**3 * sum_w
             rho = mpart * sum_w
             drho = -mpart * (3.0 / h * sum_w + sum_rdw / h)
@@ -341,19 +366,31 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
             h_new = jnp.minimum(h_new, cap)
             freeze = (done > 0.5) | now_done
             return (k + 1, jnp.where(freeze, h, h_new), lo_n, hi_n,
-                    jnp.where(freeze, 1.0, 0.0).astype(f32),
-                    sum_w, sum_rdw)
+                    jnp.where(freeze, 1.0, 0.0).astype(f32))
 
         def cond(state):
-            k, _, _, _, done = state[:5]
+            k, _, _, _, done = state
             return (k < n_sweeps) & jnp.logical_not(jnp.all(done > 0.5))
 
         h0c = jnp.minimum(h0, cap)
         zero = jnp.zeros((BLOCK, 1), f32)
-        state = (0, h0c, zero, cap, zero, zero, zero)
-        _, h, _, _, done_f, sum_w, sum_rdw = jax.lax.while_loop(
-            cond, newton, state)
+        state = (0, h0c, zero, cap, zero)
+        if fixed_sweeps:
+            # fixed trip count with per-lane freeze: drops the per-sweep
+            # all-done vector->scalar reduction (the early exit it buys
+            # fires after ~the same sweep count anyway on warm starts);
+            # unrolled when short, fori otherwise
+            if n_sweeps <= 4:
+                for _ in range(n_sweeps):
+                    state = newton(state)
+            else:
+                state = jax.lax.fori_loop(
+                    0, n_sweeps, lambda _, st: newton(st), state)
+            _, h, _, _, done_f = state
+        else:
+            _, h, _, _, done_f = jax.lax.while_loop(cond, newton, state)
         done = done_f > 0.5
+        sum_w, sum_rdw = norm_sums(h, acc_ref[:, 0:1], acc_ref[:, 1:2])
 
         # record at the solved h: every frozen lane's carried sums were
         # computed at exactly its final h (unconverged lanes re-enter via
@@ -370,49 +407,55 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
 
         # displacement pass over the same cache (metric hsml, box units);
         # the per-lane factor hm_i and the kernel norm are applied after
-        # the loop
+        # the loop.  Blocks whose prologue-computed bound says every pair
+        # has r > (hm_i + hm_j)/2 (keep bit 0 in gq) contribute exact 0
+        # and are skipped.
         inv_box = 1.0 / boxsize
 
-        def dbody(j, acc):
-            jr = pl.multiple_of(j * _FAN, _FAN)
-            xd = [xsc[d][pl.ds(jr, _FAN), :] for d in range(3)]
-            hj = hsc[pl.ds(jr, _FAN), :]
+        def dbody(j, carry):
             for f in range(_FAN):
-                dx = []
-                r2 = jnp.zeros((BLOCK, BLOCK), f32)
-                for d in range(3):
-                    dd = xi[d] - xd[d][f:f + 1, :]
-                    dd = (dd - boxsize * jnp.round(dd * inv_box)) \
-                        * inv_box
-                    dx.append(dd)
-                    r2 += dd * dd
-                hmj = hj[f:f + 1, :]
-                hbar = 0.5 * (hm_i + hmj)
-                mask = (r2 < hbar * hbar) & (r2 > 0.0) & (hmj > 0.0)
-                r = jnp.sqrt(r2)
-                u = jnp.where(mask, r / hbar, 1.0)
-                if kernel_kind == "m4":
-                    wflat = _m4_flat(u)
-                else:  # WC6 shape without the norm (folded out)
-                    t = jnp.maximum(1.0 - u, 0.0)
-                    t2 = t * t
-                    t4 = t2 * t2
-                    wflat = t4 * t4 * (
-                        1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
-                w = jnp.where(mask, wflat, 0.0)
-                inv_r = jnp.where(mask, 1.0 / jnp.maximum(r, 1e-30), 0.0)
-                coef = w * inv_r
-                acc = tuple(acc[d] + (coef * dx[d]).sum(axis=1,
-                                                        keepdims=True)
-                            for d in range(3))
-            return acc
+                @pl.when((gq_ref[s, j * _FAN + f] & 1) == 1)
+                def _(f=f):
+                    jf = pl.multiple_of(j * _FAN, _FAN) + f
+                    dx = []
+                    r2 = jnp.zeros((BLOCK, BLOCK), f32)
+                    for d in range(3):
+                        dd = xi[d] - xsc[d][pl.ds(jf, 1), :]
+                        dd = (dd - boxsize * jnp.round(dd * inv_box)) \
+                            * inv_box
+                        dx.append(dd)
+                        r2 += dd * dd
+                    hmj = hsc[pl.ds(jf, 1), :]
+                    hbar = 0.5 * (hm_i + hmj)
+                    mask = (r2 < hbar * hbar) & (r2 > 0.0) & (hmj > 0.0)
+                    r = jnp.sqrt(r2)
+                    u = jnp.where(mask, r / hbar, 1.0)
+                    if kernel_kind == "m4":
+                        wflat = _m4_flat(u)
+                    else:  # WC6 shape without the norm (folded out)
+                        t = jnp.maximum(1.0 - u, 0.0)
+                        t2 = t * t
+                        t4 = t2 * t2
+                        wflat = t4 * t4 * (
+                            1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
+                    w = jnp.where(mask, wflat, 0.0)
+                    inv_r = jnp.where(mask,
+                                      1.0 / jnp.maximum(r, 1e-30), 0.0)
+                    coef = w * inv_r
+                    for d in range(3):
+                        acc_ref[:, 2 + d:3 + d] += (coef * dx[d]).sum(
+                            axis=1, keepdims=True)
+            return carry
 
         zero3 = (zero, zero, zero)
         if do_disp:
-            delta = jax.lax.fori_loop(0, n_grp, dbody, zero3)
+            for d in range(3):
+                acc_ref[:, 2 + d:3 + d] = zero
+            jax.lax.fori_loop(0, n_grp, dbody, 0)
             dnorm = hm_i * (1.0 if kernel_kind == "m4"
                             else 1365.0 / (64.0 * const.PI))
-            delta = tuple(dnorm * delta[d] for d in range(3))
+            delta = tuple(dnorm * acc_ref[:, 2 + d:3 + d]
+                          for d in range(3))
         else:
             delta = zero3
 
@@ -429,11 +472,13 @@ def _fused_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps, m_pad,
 
 @partial(jax.jit,
          static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
-                          "mpart", "boxsize", "sb_mode", "do_disp"))
+                          "mpart", "boxsize", "sb_mode", "do_disp",
+                          "fixed_sweeps"))
 def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
                      mpart, boxsize, *, kernel="wc6", desnngb=295,
                      n_sweeps=16, interpret=False, sb_mode=False,
-                     do_disp=True):
+                     do_disp=True, gdist=None, dkeep=None,
+                     fixed_sweeps=False):
     """Fused density-solve + WVT-displacement for one count class.
 
     pos_blocks: (nb, 3, B) sorted coords; hm_blocks: (nb, 1, B) source
@@ -444,6 +489,15 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
     With sb_mode, cand holds SUPERBLOCK ids (ops/blocks.SUPER == _FAN
     blocks each) — the far-tail rows whose block-granular lists would
     overflow ride at 8x list compression with exact coverage.
+    gdist (optional, (S, M_blocks) f32, world units): per-candidate-BLOCK
+    lower bound on the receiver-to-block pair distance (bbox distance at
+    CURRENT positions — callers recompute it every iteration, so there is
+    no drift hazard); blocks farther than the running max h are skipped
+    inside the Newton sweeps.  In sb_mode M_blocks = M*SUPER (one bound
+    per expanded block).  dkeep (optional, same shape, bool): False where
+    the bound already exceeds the largest possible displacement pair
+    range 0.5*(max_i hm_i + max_j hm_j) — those blocks are skipped in the
+    displacement pass.  Both prune exact-zero contributions only.
     Returns (rho, hsml, var_fac, wk_ngb, done, delta) — delta is (S, B, 3)
     in box units, WITHOUT the step factor (caller applies step after the
     convergence decision, wvt_relax.c:100-101 ordering).
@@ -455,7 +509,30 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
         pad = _FAN - M % _FAN
         cand = jnp.concatenate(
             [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
+        if gdist is not None:
+            gdist = jnp.concatenate(
+                [gdist, jnp.full((S, pad), jnp.inf, gdist.dtype)],
+                axis=1)
+        if dkeep is not None:
+            dkeep = jnp.concatenate(
+                [dkeep, jnp.zeros((S, pad), bool)], axis=1)
         M += pad
+
+    # packed per-block bounds: (floor(dist*qscale) << 1) | disp_keep
+    m_blocks = M * _FAN if sb_mode else M
+    qscale = float(2 ** 22) / float(boxsize)
+    if gdist is None:
+        gq = jnp.ones((S, m_blocks), jnp.int32)  # dist 0, keep: no-op
+    else:
+        dq = jnp.minimum(gdist * qscale, float((1 << 29) - 1))
+        dq = jnp.maximum(dq, 0.0).astype(jnp.int32)
+        keep = (jnp.ones((S, m_blocks), bool) if dkeep is None
+                else dkeep)
+        gq = (dq << 1) | keep.astype(jnp.int32)
+    # per-row static density-skip threshold: ceil-quantized max cap (h
+    # never exceeds cap, so `dist_q > hq` implies no pair within range)
+    hq = (jnp.minimum(cap.max(axis=1) * qscale,
+                      float(2 ** 30)).astype(jnp.int32) + 1)
 
     # receiver columns as SEPARATE (S, B, 1) arrays (canonical layouts —
     # see the kernel note on while_loop carries)
@@ -467,23 +544,23 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
     m_cache = M * _FAN if sb_mode else M
     kern = partial(_fused_kernel, kernel, float(desnngb), float(mpart),
                    float(boxsize), n_sweeps, m_cache,
-                   nb if sb_mode else 0, do_disp)
+                   nb if sb_mode else 0, do_disp, qscale, fixed_sweeps)
 
-    def imap_s(s, m, cand_ref, cnt_ref):
+    def imap_s(s, m, cand_ref, cnt_ref, gq_ref, hq_ref):
         return (s, 0, 0)
 
     def make_imap_cand(f):
         if sb_mode:
-            def imap(s, m, cand_ref, cnt_ref):
+            def imap(s, m, cand_ref, cnt_ref, gq_ref, hq_ref):
                 return (jnp.minimum(
                     jnp.maximum(cand_ref[s, m], 0) * _FAN + f, nb - 1),
                     0, 0)
         else:
-            def imap(s, m, cand_ref, cnt_ref):
+            def imap(s, m, cand_ref, cnt_ref, gq_ref, hq_ref):
                 return (jnp.maximum(cand_ref[s, m * _FAN + f], 0), 0, 0)
         return imap
 
-    sc = _row_chunks(S, M)
+    sc = _row_chunks(S, M + m_blocks)
     nchunk = -(-S // sc)
     s_pad = nchunk * sc
     cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
@@ -491,11 +568,14 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
     cnt_c = jnp.concatenate(
         [cnt.astype(jnp.int32),
          jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
+    gq_c = _pad_rows(gq, s_pad).reshape(nchunk, sc, m_blocks)
+    hq_c = jnp.concatenate(
+        [hq, jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
     recv_c = [_pad_rows(r, s_pad).reshape(nchunk, sc, BLOCK, 1)
               for r in recvs]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(sc, M if sb_mode else M // _FAN),
         in_specs=(
             [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(6)]
@@ -506,11 +586,11 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
         ),
         out_specs=[pl.BlockSpec((1, BLOCK, 8), imap_s)],
         scratch_shapes=[pltpu.VMEM((m_cache, BLOCK), f32)
-                        for _ in range(4)],
+                        for _ in range(4)]
+        + [pltpu.VMEM((BLOCK, 8), f32)],
     )
 
     def run_chunk(chunk):
-        cand_k, cnt_k = chunk[0], chunk[1]
         args = (list(chunk) + [pos_blocks] * _FAN
                 + [hm_blocks] * _FAN)
         (o,) = pl.pallas_call(
@@ -520,7 +600,8 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
         )(*args)
         return o
 
-    out = jax.lax.map(run_chunk, tuple([cand_c, cnt_c] + recv_c))
+    out = jax.lax.map(run_chunk,
+                      tuple([cand_c, cnt_c, gq_c, hq_c] + recv_c))
     out = out.reshape(-1, BLOCK, 8)[:S]
     rho, h, vf, wk, done_f = (out[:, :, k] for k in range(5))
     delta = out[:, :, 5:8]
@@ -796,3 +877,485 @@ def solve_density_pallas(pos_blocks, valid_blocks, cand, xi, h0, cap,
     done = done_f > 0.5
     saturated = (~done) | (h >= cap * 0.999)
     return rho, h, vf, wk, done, saturated
+
+
+# ---------------------------------------------------------------------------
+# v3 "stream" kernel: grid over receiver rows ONLY, candidate blocks fetched
+# by in-kernel double-buffered DMA with a DYNAMIC trip count (ceil(cnt/8)
+# groups — the paged-attention gather pattern).  The v2 fused kernel pays a
+# fixed pipeline cost for every (row, m) grid step of its static class
+# width; with the skewed candidate-count distribution that tax measured
+# ~3x the real tile work at 1e6 (most steps hold no data).  Streaming to
+# the true count also removes the count-class machinery entirely — one
+# call covers all rows, so the WVT iteration program has ONE shape (no
+# recompile churn when class memberships drift, the dominant cost of the
+# 1e7 flagship run).
+#
+# Per-block skip bounds ride as 2 bits packed 16-blocks/word in SMEM:
+#   bit0: block beyond the row's max cap          -> skip density tiles
+#   bit1: block within the displacement pair range -> compute disp tiles
+# (computed fresh each iteration by the caller from current positions;
+# both prune exact-zero contributions only).
+# ---------------------------------------------------------------------------
+
+_SLOTS = 2  # DMA double buffer
+
+_BITS_CHUNK = 1024  # rows per chunk in stream_skip_bits (bounds temps)
+
+
+@partial(jax.jit, static_argnames=("boxsize", "sb", "margin_frac"))
+def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
+                     hm_rows, boxsize, sb=False, margin_frac=0.0):
+    """Packed per-candidate-block skip words for the stream kernel.
+
+    Two bits per block, 16 blocks per int32 word:
+      bit0: the block's bbox distance to the receiver block exceeds the
+            row's max cap -> every density pair is out of range, skip;
+      bit1: within the displacement pair range 0.5*(max hm_i + max hm_j)
+            -> compute the displacement tile.
+    Chunked over rows (lax.map) so the (rows, M, 3) gather/arithmetic
+    temporaries stay bounded — the eager/fused form OOMed at 1e6+.
+
+    bb_lo/bb_hi: (nb, 3) CURRENT-position block bboxes; bhm: (nb,)
+    per-block max source hm in box units (None -> disp bit 0 everywhere);
+    idc: (S,) receiver block ids (clamped); block_rows: (S, Mb) candidate
+    BLOCK ids, -1 invalid — or SUPERBLOCK ids with sb=True (expanded to
+    member blocks inside the row chunks, never materialised whole);
+    cap_rows: (S, B) world-unit caps; hm_rows: (S, B) receiver hm in box
+    units (ignored when bhm is None).  Returns (S, ceil(Mb*/16)) int32
+    where Mb* is the (expanded) block count padded to 16.
+
+    margin_frac inflates both thresholds by (1+margin_frac): callers that
+    reuse the bits across several WVT iterations (XLA gathers make this
+    computation too slow to rerun every iteration) pick a margin covering
+    the worst-case position/hm drift until the next rebuild, and enforce
+    it with an accumulated-drift rebuild trigger.
+    """
+    S, Mb = block_rows.shape
+    nb_blocks = bb_lo.shape[0]
+    qscale = float(2 ** 22) / float(boxsize)
+    mf = 1.0 + float(margin_frac)
+    pad16 = (-Mb) % (2 if sb else 16)
+    if pad16:
+        block_rows = jnp.concatenate(
+            [block_rows, jnp.full((S, pad16), -1, block_rows.dtype)],
+            axis=1)
+        Mb += pad16
+    hq = (jnp.minimum(cap_rows.max(axis=1) * mf * qscale,
+                      float(2 ** 30)).astype(jnp.int32) + 1)
+    hmi = (hm_rows.max(axis=1) if bhm is not None
+           else jnp.zeros((S,), jnp.float32))
+
+    chunk = min(_BITS_CHUNK, S)
+    nchunk = -(-S // chunk)
+    s_pad = nchunk * chunk
+
+    def pad(x, fill=0):
+        p = s_pad - x.shape[0]
+        if not p:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((p,) + x.shape[1:], fill, x.dtype)])
+
+    # ONE packed gather row per candidate block — three narrow gathers
+    # (lo, hi, bhm) cost ~3x as much as one 8-wide row (TPU gathers pay
+    # per row, not per byte at this width)
+    cen = 0.5 * (bb_lo + bb_hi)
+    ext = 0.5 * (bb_hi - bb_lo)
+    packed = jnp.concatenate(
+        [cen, ext,
+         (bhm if bhm is not None
+          else jnp.zeros((nb_blocks,), bb_lo.dtype))[:, None],
+         jnp.zeros((nb_blocks, 1), bb_lo.dtype)], axis=1)   # (nb, 8)
+
+    def chunk_fn(args):
+        idc_c, rows_c, hq_c, hmi_c = args
+        if sb:
+            e = (jnp.maximum(rows_c, 0)[:, :, None] * _FAN
+                 + jnp.arange(_FAN, dtype=jnp.int32))
+            ok = (rows_c >= 0)[:, :, None] & (e < nb_blocks)
+            rows_c = jnp.where(ok, e, -1).reshape(rows_c.shape[0], -1)
+        rowsc = jnp.maximum(rows_c, 0)
+        pj = packed[rowsc]                      # (C, Mb, 8) one gather
+        pi = packed[idc_c]                      # (C, 8)
+        d = pi[:, None, :3] - pj[:, :, :3]
+        d = d - boxsize * jnp.round(d / boxsize)
+        gap = jnp.maximum(jnp.abs(d) - (pi[:, None, 3:6]
+                                        + pj[:, :, 3:6]), 0.0)
+        gd = jnp.sqrt((gap * gap).sum(-1))
+        dq = jnp.minimum(gd * qscale, float(2 ** 30)).astype(jnp.int32)
+        valid = rows_c >= 0
+        dens_skip = (dq > hq_c[:, None]) | ~valid
+        if bhm is None:
+            dk = jnp.zeros(rows_c.shape, bool)
+        else:
+            dk = (gd <= 0.5 * (hmi_c[:, None] + pj[:, :, 6])
+                  * boxsize * mf) & valid
+        b2 = dens_skip.astype(jnp.int32) | (dk.astype(jnp.int32) << 1)
+        b2 = b2.reshape(b2.shape[0], -1, 16)
+        shifts = jnp.arange(16, dtype=jnp.int32) * 2
+        return (b2 << shifts).sum(axis=2).astype(jnp.int32)
+
+    bits = jax.lax.map(chunk_fn, (
+        pad(idc).reshape(nchunk, chunk),
+        pad(block_rows, -1).reshape(nchunk, chunk, Mb),
+        pad(hq).reshape(nchunk, chunk),
+        pad(hmi).reshape(nchunk, chunk)))
+    return bits.reshape(s_pad, -1)[:S]
+
+
+def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
+                   sb_nb, do_disp,
+                   cand_ref,                 # (S, M) scalar prefetch
+                   cnt_ref,                  # (S,)
+                   bits_ref,                 # (S, ceil(Mb/16)) packed skip
+                   *rest):
+    # rest: 6 receiver columns (1,B,1) [x0,x1,x2,h0,cap,hm_i],
+    #       src_ref (nb, 4, B) in ANY (rows 0-2 coords, row 3 source hm),
+    #       out (1, B, 8), csc scratch (SLOTS*FAN*4, B), acc (B, 8),
+    #       sem (SLOTS*FAN,) DMA semaphores
+    recv_refs = rest[:6]
+    src_ref = rest[6]
+    out_ref = rest[7]
+    csc = rest[8]
+    acc_ref = rest[9]
+    sem = rest[10]
+
+    s = pl.program_id(0)
+    f32 = jnp.float32
+
+    _GROUP_ROWS = _FAN * 4
+
+    def copy_of(g, f):
+        """Group DMA: in sb mode one descriptor moves the whole
+        superblock (its _FAN member blocks are CONTIGUOUS rows of the
+        flattened source — the big win of superblock lists); block mode
+        issues one descriptor per block (f)."""
+        slot = jax.lax.rem(g, _SLOTS)
+        if sb_nb:
+            sb = jnp.maximum(cand_ref[s, g], 0)
+            return pltpu.make_async_copy(
+                src_ref.at[pl.ds(sb * _GROUP_ROWS, _GROUP_ROWS), :],
+                csc.at[pl.ds(slot * _GROUP_ROWS, _GROUP_ROWS), :],
+                sem.at[slot])
+        b = jnp.maximum(cand_ref[s, g * _FAN + f], 0)
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(b * 4, 4), :],
+            csc.at[pl.ds((slot * _FAN + f) * 4, 4), :],
+            sem.at[slot * _FAN + f])
+
+    def bits(g, f):
+        idx = g * _FAN + f
+        word = bits_ref[s, idx >> 4]
+        return (word >> (2 * (idx & 15))) & 3
+
+    @pl.when(cnt_ref[s] > 0)
+    def _():
+        xi = [recv_refs[d][0] for d in range(3)]      # (B,1) each
+        h0 = recv_refs[3][0]
+        cap = recv_refs[4][0]
+        hm_i = recv_refs[5][0]
+        n_grp = (cnt_ref[s] if sb_nb else
+                 (cnt_ref[s] + _FAN - 1) // _FAN)
+
+        def issue(g):
+            if sb_nb:
+                copy_of(g, 0).start()
+            else:
+                for f in range(_FAN):
+                    copy_of(g, f).start()
+
+        def stream_pass(tile_fn, keep_bit):
+            """fori over candidate groups: double-buffered DMA, per-block
+            skip via the packed bits (keep_bit 0: density, 1: disp)."""
+            issue(0)
+
+            def body(g, carry):
+                @pl.when(g + 1 < n_grp)
+                def _():
+                    issue(g + 1)
+                slot = jax.lax.rem(g, _SLOTS)
+                if sb_nb:
+                    copy_of(g, 0).wait()
+                for f in range(_FAN):
+                    if not sb_nb:
+                        copy_of(g, f).wait()
+                    b2 = bits(g, f)
+                    cond = ((b2 & 1) == 0) if keep_bit == 0 \
+                        else ((b2 & 2) == 2)
+                    @pl.when(cond)
+                    def _(f=f, slot=slot):
+                        row = (slot * _FAN + f) * 4
+                        xd = [csc[pl.ds(row + d, 1), :] for d in range(3)]
+                        hj = csc[pl.ds(row + 3, 1), :]
+                        tile_fn(xd, hj)
+                return carry
+
+            jax.lax.fori_loop(0, n_grp, body, 0)
+
+        # ---------------- density solve ----------------
+        def pair_sums(h):
+            inv_h2 = 1.0 / (h * h)
+            acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
+
+            def tile(xd, hj):
+                r2 = jnp.zeros((BLOCK, BLOCK), f32)
+                for d in range(3):
+                    dd = xi[d] - xd[d]
+                    dd = dd - boxsize * jnp.round(dd / boxsize)
+                    r2 += dd * dd
+                vj = (hj > 0).astype(f32)
+                if kernel_kind == "m4":
+                    r = jnp.sqrt(r2)
+                    w, dw = _m4_w_dw(r, h)
+                    acc_ref[:, 0:1] += (w * vj).sum(axis=1, keepdims=True)
+                    acc_ref[:, 1:2] += (r * dw * vj).sum(axis=1,
+                                                         keepdims=True)
+                else:
+                    u = jnp.sqrt(r2 * inv_h2)
+                    t = jnp.maximum(1.0 - u, 0.0) * vj
+                    t2 = t * t
+                    t4 = t2 * t2
+                    t7 = t4 * t2 * t
+                    wpoly = 1.0 + u * (8.0 + u * (25.0 + 32.0 * u))
+                    dpoly = u * u * (1.0 + u * (7.0 + 16.0 * u))
+                    acc_ref[:, 0:1] += (t4 * t4 * wpoly).sum(
+                        axis=1, keepdims=True)
+                    acc_ref[:, 1:2] += (t7 * dpoly).sum(
+                        axis=1, keepdims=True)
+
+            stream_pass(tile, 0)
+            return acc_ref[:, 0:1], acc_ref[:, 1:2]
+
+        def norm_sums(h, raw_w, raw_rdw):
+            if kernel_kind == "m4":
+                return raw_w, raw_rdw
+            inv_h = 1.0 / h
+            norm_h3 = (1365.0 / (64.0 * const.PI)) * inv_h**3
+            return raw_w * norm_h3, raw_rdw * (-22.0 * norm_h3)
+
+        def newton(state):
+            k, h, lo, hi, done = state
+            raw_w, raw_rdw = pair_sums(h)
+            sum_w, sum_rdw = norm_sums(h, raw_w, raw_rdw)
+            wk_ngb = const.FOURPITHIRD * h**3 * sum_w
+            rho = mpart * sum_w
+            drho = -mpart * (3.0 / h * sum_w + sum_rdw / h)
+            ngb_dev = jnp.abs(wk_ngb - desnngb)
+            now_done = ngb_dev < const.NNGBDEV
+            omega = 1.0 + drho * h / (3.0 * jnp.maximum(rho, 1e-30))
+            fac = 1.0 - (wk_ngb - desnngb) / (
+                3.0 * jnp.maximum(wk_ngb, 1e-30) * omega)
+            fac = jnp.clip(fac, 1.0 / 1.24, 1.24)
+            hi_n = jnp.where(wk_ngb > desnngb, h, hi)
+            lo_n = jnp.where(wk_ngb < desnngb, h, lo)
+            h_bis = (0.5 * (lo_n**3 + hi_n**3)) ** (1.0 / 3.0)
+            h_new = jnp.where(ngb_dev < 0.5 * desnngb, h * fac, h_bis)
+            h_new = jnp.minimum(h_new, cap)
+            freeze = (done > 0.5) | now_done
+            return (k + 1, jnp.where(freeze, h, h_new), lo_n, hi_n,
+                    jnp.where(freeze, 1.0, 0.0).astype(f32))
+
+        def cond(state):
+            k, _, _, _, done = state
+            return (k < n_sweeps) & jnp.logical_not(jnp.all(done > 0.5))
+
+        h0c = jnp.minimum(h0, cap)
+        zero = jnp.zeros((BLOCK, 1), f32)
+        _, h, _, _, done_f = jax.lax.while_loop(
+            cond, newton, (0, h0c, zero, cap, zero))
+        done = done_f > 0.5
+        sum_w, sum_rdw = norm_sums(h, acc_ref[:, 0:1], acc_ref[:, 1:2])
+
+        wk_ngb = const.FOURPITHIRD * h**3 * sum_w
+        rho = mpart * sum_w
+        drho = -mpart * (3.0 / h * sum_w + sum_rdw / h)
+        now_done = jnp.abs(wk_ngb - desnngb) < const.NNGBDEV
+        rho_out = rho
+        if kernel_kind == "wc6":  # Dehnen+12 (sph.c:202-210)
+            w0 = 1365.0 / (64.0 * const.PI) / (h * h * h)
+            rho_out = rho + (-0.0116 * (desnngb * 0.01) ** (-2.236)
+                             * mpart * w0)
+
+        # ---------------- displacement ----------------
+        inv_box = 1.0 / boxsize
+        if do_disp:
+            acc_ref[:, 2:5] = jnp.zeros((BLOCK, 3), f32)
+
+            def dtile(xd, hj):
+                dx = []
+                r2 = jnp.zeros((BLOCK, BLOCK), f32)
+                for d in range(3):
+                    dd = xi[d] - xd[d]
+                    dd = (dd - boxsize * jnp.round(dd * inv_box)) \
+                        * inv_box
+                    dx.append(dd)
+                    r2 += dd * dd
+                hbar = 0.5 * (hm_i + hj)
+                mask = (r2 < hbar * hbar) & (r2 > 0.0) & (hj > 0.0)
+                r = jnp.sqrt(r2)
+                u = jnp.where(mask, r / hbar, 1.0)
+                if kernel_kind == "m4":
+                    wflat = _m4_flat(u)
+                else:
+                    t = jnp.maximum(1.0 - u, 0.0)
+                    t2 = t * t
+                    t4 = t2 * t2
+                    wflat = t4 * t4 * (
+                        1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
+                w = jnp.where(mask, wflat, 0.0)
+                inv_r = jnp.where(mask, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+                coef = w * inv_r
+                for d in range(3):
+                    acc_ref[:, 2 + d:3 + d] += (coef * dx[d]).sum(
+                        axis=1, keepdims=True)
+
+            stream_pass(dtile, 1)
+            dnorm = hm_i * (1.0 if kernel_kind == "m4"
+                            else 1365.0 / (64.0 * const.PI))
+            delta = tuple(dnorm * acc_ref[:, 2 + d:3 + d]
+                          for d in range(3))
+        else:
+            delta = (zero, zero, zero)
+
+        out_ref[0, :, 0:1] = rho_out
+        out_ref[0, :, 1:2] = h
+        out_ref[0, :, 2:3] = 1.0 / (
+            1.0 + h / (3.0 * jnp.maximum(rho, 1e-30)) * drho)
+        out_ref[0, :, 3:4] = wk_ngb
+        out_ref[0, :, 4:5] = jnp.where(done | now_done, 1.0, 0.0)
+        out_ref[0, :, 5:6] = delta[0]
+        out_ref[0, :, 6:7] = delta[1]
+        out_ref[0, :, 7:8] = delta[2]
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
+                          "mpart", "boxsize", "sb_mode", "do_disp"))
+def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
+                      mpart, boxsize, gdist=None, dkeep=None, *,
+                      kernel="wc6", desnngb=295, n_sweeps=16,
+                      interpret=False, sb_mode=False, do_disp=True,
+                      bits=None):
+    """v3 dynamic-streaming density solve + WVT displacement.
+
+    src_blocks: (nb, 4, B) sorted sources — rows 0-2 coords (world), row
+    3 the metric hsml in box units (0 on invalid lanes; doubles as the
+    validity mask).  cand (S, M) block ids (-1 padded) or superblock ids
+    with sb_mode; cnt (S,) true counts; xi (S, 3, B), h0/cap/hm_i (S, B)
+    receivers.  gdist (S, M_blocks) world-unit per-block distance lower
+    bounds and dkeep (S, M_blocks) displacement-range keeps are REQUIRED
+    (computed fresh per iteration by the callers; prune exact zeros).
+    Returns (rho, hsml, var_fac, wk_ngb, done, delta) like
+    fused_wvt_pallas.
+    """
+    S, M = cand.shape
+    nb = src_blocks.shape[0]
+    f32 = jnp.float32
+    # pad the list width so expanded block counts land on 16 (the skip
+    # word packing) and on _FAN (the group loop)
+    mult = 2 if sb_mode else 16
+    if M % mult:
+        pad = mult - M % mult
+        cand = jnp.concatenate(
+            [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
+        if gdist is not None:
+            gdist = jnp.concatenate(
+                [gdist, jnp.full((S, pad * (_FAN if sb_mode else 1)),
+                                 jnp.inf, gdist.dtype)], axis=1)
+        if dkeep is not None:
+            dkeep = jnp.concatenate(
+                [dkeep, jnp.zeros((S, pad * (_FAN if sb_mode else 1)),
+                                  bool)], axis=1)
+        M += pad
+    m_blocks = M * _FAN if sb_mode else M
+    nw = m_blocks // 16
+
+    if bits is None:
+        # pack per-block skips inline (small problems / tests; at scale
+        # callers precompute via stream_skip_bits to bound temporaries)
+        qscale = float(2 ** 22) / float(boxsize)
+        hq = jnp.minimum(cap.max(axis=1) * qscale,
+                         float(2 ** 30)).astype(jnp.int32) + 1
+        if gdist is None:
+            gdist = jnp.zeros((S, m_blocks), f32)
+        if dkeep is None:
+            dkeep = jnp.ones((S, m_blocks), bool)
+        dq = jnp.minimum(gdist * qscale,
+                         float(2 ** 30)).astype(jnp.int32)
+        b2 = ((dq > hq[:, None]).astype(jnp.int32)
+              | (dkeep.astype(jnp.int32) << 1))
+        b2 = b2.reshape(S, nw, 16)
+        shifts = jnp.arange(16, dtype=jnp.int32) * 2
+        bits = (b2 << shifts).sum(axis=2).astype(jnp.int32)
+    elif bits.shape[1] != nw:
+        raise ValueError(
+            f"skip-bit width {bits.shape[1]} != expected {nw} "
+            f"(m_blocks={m_blocks})")
+
+    xi_t = xi.transpose(0, 2, 1)
+    recvs = [xi_t[:, :, d:d + 1] for d in range(3)] + [
+        h0[..., None].astype(f32), cap[..., None].astype(f32),
+        hm_i[..., None].astype(f32)]
+
+    kern = partial(_stream_kernel, kernel, float(desnngb), float(mpart),
+                   float(boxsize), n_sweeps, nb if sb_mode else 0,
+                   do_disp)
+
+    def imap_s(s, cand_ref, cnt_ref, bits_ref):
+        return (s, 0, 0)
+
+    sc = _row_chunks(S, M + nw)
+    nchunk = -(-S // sc)
+    s_pad = nchunk * sc
+    cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
+        nchunk, sc, M)
+    cnt_c = jnp.concatenate(
+        [cnt.astype(jnp.int32),
+         jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
+    bits_c = _pad_rows(bits, s_pad).reshape(nchunk, sc, nw)
+    recv_c = [_pad_rows(r, s_pad).reshape(nchunk, sc, BLOCK, 1)
+              for r in recvs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(sc,),
+        in_specs=(
+            [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(6)]
+            + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)]  # src
+        ),
+        out_specs=[pl.BlockSpec((1, BLOCK, 8), imap_s)],
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS * _FAN * 4, BLOCK), f32),
+            pltpu.VMEM((BLOCK, 8), f32),
+            pltpu.SemaphoreType.DMA(
+                (_SLOTS,) if sb_mode else (_SLOTS * _FAN,)),
+        ],
+    )
+
+    src_flat = src_blocks.reshape(-1, src_blocks.shape[-1])
+    if sb_mode:
+        # group DMA reads whole superblocks: pad so a partial last
+        # superblock cannot read past the end (zero hm -> masked out,
+        # and the skip bits mark past-nb members invalid anyway)
+        need = -(-nb // _FAN) * _FAN * 4
+        if src_flat.shape[0] < need:
+            src_flat = jnp.concatenate(
+                [src_flat, jnp.zeros((need - src_flat.shape[0],
+                                      src_flat.shape[1]), f32)])
+
+    def run_chunk(chunk):
+        args = list(chunk) + [src_flat]
+        (o,) = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((sc, BLOCK, 8), f32)],
+            interpret=interpret,
+        )(*args)
+        return o
+
+    out = jax.lax.map(run_chunk,
+                      tuple([cand_c, cnt_c, bits_c] + recv_c))
+    out = out.reshape(-1, BLOCK, 8)[:S]
+    rho, h, vf, wk, done_f = (out[:, :, k] for k in range(5))
+    delta = out[:, :, 5:8]
+    return rho, h, vf, wk, done_f > 0.5, delta

@@ -72,13 +72,22 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
         from .models import wvt, sph, bfield, temperature
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        parts = wvt.regularise_sph_particles(
-            scene, ha, parts, log=log, checkpoint_path=wvt_checkpoint)
+        parts, wvt_fresh = wvt.regularise_sph_particles(
+            scene, ha, parts, log=log, checkpoint_path=wvt_checkpoint,
+            return_fresh=True)
         if profile_dir:
             jax.profiler.stop_trace()
-        parts, nstate = sph.find_sph_quantities(scene, ha, parts,
-                                                return_state=True)
-        log("sph_quantities")
+        if wvt_fresh:
+            # the WVT loop stopped before a final move: parts already
+            # hold the full-contract density solve at the final
+            # positions, so the stand-alone pass is redundant (the
+            # B-field stage builds its own neighbour structure)
+            nstate = None
+            log("sph_quantities", reused="wvt-final")
+        else:
+            parts, nstate = sph.find_sph_quantities(scene, ha, parts,
+                                                    return_state=True)
+            log("sph_quantities")
         if check:
             _check_density(scene, parts, log)
         if cfg.bfld_norm:
