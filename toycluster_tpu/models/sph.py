@@ -31,6 +31,9 @@ _CAP_FACTOR = 1.2      # candidate radius margin over the model-based h0
 _MAX_REBUILDS = 5
 _MS_CAP = 512          # superblock-budget ceiling: rows needing more go
 #                        to the exact superblock-granular tail path
+_SB_WIDTH_CAP = 1536   # superblock-list width ceiling (memory guard):
+#                        overflowing rows keep their NEAREST superblocks
+#                        (distance-ordered lists — the NGBMAX analogue)
 
 
 def _engine() -> str:
@@ -128,19 +131,27 @@ def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
         radius = jnp.zeros_like(radius)
     else:
         radius_sym = jnp.zeros_like(radius)
-    m_sb = min(_LAST_MAX_CAND.get(key, 192), bi.sb_lo.shape[0])
+    ns = bi.sb_lo.shape[0]
+    width_cap = min(_SB_WIDTH_CAP, ns)
+    m_sb = min(_LAST_MAX_CAND.get(key, 192), ns)
     rec = jnp.arange(bi.n_blocks, dtype=jnp.int32)
     while True:
         cand = blk.find_candidates_super(bi, rec, radius, radius_sym,
                                          boxsize, max_cand=m_sb)
         over = int(cand.overflow)
-        if over <= 0:
+        if over <= 0 or m_sb >= width_cap:
             break
-        m_sb = min(-(-int((m_sb + over) * 1.12) // 64) * 64,
-                   bi.sb_lo.shape[0])
+        m_sb = min(-(-int((m_sb + over) * 1.12) // 64) * 64, width_cap)
     _LAST_MAX_CAND[key] = m_sb
+    # trim the sticky build width to the actual need (pow2-quantized):
+    # the stream kernel is width-agnostic, but the skip-bits pass and
+    # SMEM chunking pay for every padded column
+    w_need = max(int(cand.count.max()), 1)
+    w_q = max(64, 1 << (w_need - 1).bit_length())
+    if w_q < cand.idx.shape[1]:
+        cand = cand._replace(idx=cand.idx[:, :w_q])
     return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
-                          max_cand=m_sb, tail=None, sb=True)
+                          max_cand=cand.idx.shape[1], tail=None, sb=True)
 
 
 def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,

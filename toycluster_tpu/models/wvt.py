@@ -36,6 +36,7 @@ import os as _os
 
 REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 8))
 _SYM_MARGIN = 1.1       # displacement-radius slack for inter-build drift
+_FAC_MAX = 2.0          # cap-ratchet ceiling (see fac_gas note below)
 
 
 @jax.jit
@@ -85,7 +86,10 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
 
     @jax.jit
     def iter_fn(pos_gas, h_prev, h_cap_pad, cand_idx, count, class_ids,
-                tail, ha):
+                tail, ha, growable, n_gas_d):
+        # n_gas_d: DYNAMIC scalar — a static bound would constant-fold
+        # the (n_padded,) iota comparison in the XLA compiler (minutes
+        # at 1e7; see positions._census_counts)
         rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
                                                  cool_core)
         h_box = _metric_hsml(rho_model, mpart, desnngb)
@@ -101,7 +105,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
 
         pos_pad = (pos_gas if pad == 0 else jnp.concatenate(
             [pos_gas, jnp.broadcast_to(pos_gas[-1], (pad, 3))]))
-        valid = jnp.arange(n_padded) < n_gas
+        valid = jnp.arange(n_padded) < n_gas_d
         h0_s = pad1(h0)
         hm_s = pad1(h_box)
 
@@ -206,8 +210,8 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
         done = done_f > 0.5
         still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
         saturated = (~done) | (hsml >= h_cap_pad * 0.999)
-        n_sat = jnp.where(valid & saturated & still_growable,
-                          1, 0).sum()
+        n_sat = jnp.where(valid & saturated & still_growable
+                          & pad1(growable), 1, 0).sum()
 
         err = jnp.abs(rho[:n_gas] - rho_model) / rho_model
         # worst per-particle displacement in units of the local metric
@@ -280,6 +284,19 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     class_ids = None
     engine = sph_mod._engine()
     fresh = False
+    # persistent per-particle cap factor (parts order, permuted at each
+    # build): lanes whose h keeps growing >20% per iteration (sparse
+    # outskirts of merger configs) would otherwise saturate and force a
+    # rebuild + re-solve EVERY iteration once the rebuild resets their
+    # cap to 1.2x h_prev.  With the skip bits pruning the density tiles
+    # to the actual h, a ratcheted cap costs only list width, not flops.
+    fac_gas = jnp.full((n_gas,), sph_mod._CAP_FACTOR, jnp.float32)
+    # runaway guard: a handful of void-edge lanes can demand >1.6x h
+    # growth EVERY iteration (their neighbours flee faster than the cap
+    # ratchet); past _FAC_MAX they keep the cap-clamped h — the
+    # reference's NGBMAX=2360 list cap (globals.h:50) plays exactly this
+    # accept-the-cap role
+
 
     for it in range(it0, max_iter + 1):
         # --- fused iteration: ONE neighbour structure serves the density
@@ -296,7 +313,6 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 state is not None and state.tail is not None):
             state = None
 
-        cap_factor = sph_mod._CAP_FACTOR
         grow_mask = None   # per-particle: only saturated lanes get the
         #                    grown cap, so windows (and tails) stay tight
         for attempt in range(sph_mod._MAX_REBUILDS + 1):
@@ -309,10 +325,13 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 h0_model = (desnngb * mpart / rho_model
                             / const.FOURPITHIRD) ** (1.0 / 3.0)
                 h0 = jnp.where(h_prev > 0, h_prev, h0_model)
-                fac = (cap_factor if grow_mask is None else jnp.where(
-                    grow_mask, cap_factor, sph_mod._CAP_FACTOR))
+                if grow_mask is not None:
+                    fac_gas = jnp.where(grow_mask,
+                                        jnp.minimum(fac_gas * 1.6,
+                                                    _FAC_MAX),
+                                        fac_gas)
                 h_cap_gas = jnp.minimum(
-                    jnp.maximum(h0, h0_model) * fac,
+                    jnp.maximum(h0, h0_model) * fac_gas,
                     boxsize / 3.0)
                 state = sph_mod.build_neighbours(
                     pos_gas, h_cap_gas, boxsize,
@@ -320,6 +339,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 # adopt the sorted layout once per build
                 # (peano.c:85-126 permutation analogue)
                 parts = sph_mod.permute_gas(parts, state.index.order)
+                fac_gas = fac_gas[state.index.order]
                 pos_gas = parts.pos[:n_gas]
                 h_prev = parts.hsml[:n_gas]
                 if engine == "pallas":
@@ -343,14 +363,28 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 its_since_build = 0
                 log("wvt_build", it=it, attempt=attempt,
                     max_cand=state.max_cand, classes=class_shape,
-                    tail=tail_shape)
+                    tail=tail_shape,
+                    n_sat=int(n_sat_d) if attempt else 0)
 
             out = iter_fn(pos_gas, h_prev, state.h_cap, state.cand.idx,
-                          state.cand.count, class_ids, state.tail, ha)
+                          state.cand.count, class_ids, state.tail, ha,
+                          fac_gas < _FAC_MAX * 0.999,
+                          jnp.int32(n_gas))
             (rho, hsml, vf, delta_box, rho_model_s, err_max_d,
              err_mean_d, n_sat_d, dmax_rel_d) = out
             n_sat = int(n_sat_d)
             if n_sat == 0:
+                break
+            if n_sat <= max(32, n_gas // 20_000):
+                # a handful of freshly-saturated lanes each iteration is
+                # the steady state of merger configs; accept their
+                # capped h now (the reference accepts NGBMAX-truncated
+                # lists the same way, globals.h:50) and pre-ratchet
+                # their cap factor so the next scheduled rebuild covers
+                # them
+                fac_gas = jnp.where(
+                    hsml >= state.h_cap[:n_gas] * 0.999,
+                    jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
                 break
             # saturation: the build-time search radius no longer covers
             # the needed h — rebuild, growing the cap ONLY for the
@@ -358,8 +392,6 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             # explodes the far-tail row count)
             grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
             parts = parts._replace(hsml=hsml)
-            if its_since_build == 0:
-                cap_factor *= 1.6
             state = None
         else:
             raise RuntimeError(

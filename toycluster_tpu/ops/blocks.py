@@ -262,11 +262,16 @@ def find_candidates_super(bi: BlockIndex, rec_ids, radius, radius_sym,
         rng = jnp.maximum(rad_i[:, None],
                           0.5 * (sym_i[:, None] + sb_sym[None, :]))
         hit = (d2 <= rng * rng) & (rec >= 0)[:, None]
-        ids = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32),
-                               hit.shape)
-        idx = _compact_left(hit, ids, ns, max_cand)
+        # DISTANCE-ordered compaction: when a row overflows max_cand it
+        # keeps its NEAREST superblocks — the analogue of the
+        # reference's NGBMAX=2360 neighbour-list truncation
+        # (globals.h:50); affected lanes accept a capped h via the
+        # callers' saturation policy
+        key = jnp.where(hit, d2, jnp.inf)
+        idx = jnp.argsort(key, axis=1)[:, :max_cand].astype(jnp.int32)
+        hit_sel = jnp.take_along_axis(hit, idx, axis=1)
         count = hit.sum(axis=1)
-        return jnp.where(idx >= ns, -1, idx), count
+        return jnp.where(hit_sel, idx, -1), count
 
     idx, count = jax.lax.map(
         chunk_fn, rec_pad.reshape(nchunk, _CAND_CHUNK))

@@ -946,7 +946,8 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     hmi = (hm_rows.max(axis=1) if bhm is not None
            else jnp.zeros((S,), jnp.float32))
 
-    chunk = min(_BITS_CHUNK, S)
+    # bound the per-chunk gather/arithmetic temporaries at wide lists
+    chunk = min(_BITS_CHUNK, S, max(32, (8 << 20) // max(Mb, 1)))
     nchunk = -(-S // chunk)
     s_pad = nchunk * chunk
 
@@ -1009,6 +1010,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                    cand_ref,                 # (S, M) scalar prefetch
                    cnt_ref,                  # (S,)
                    bits_ref,                 # (S, ceil(Mb/16)) packed skip
+                   cen_ref,                  # (S, 3) quantized row centre
                    *rest):
     # rest: 6 receiver columns (1,B,1) [x0,x1,x2,h0,cap,hm_i],
     #       src_ref (nb, 4, B) in ANY (rows 0-2 coords, row 3 source hm),
@@ -1057,6 +1059,9 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         hm_i = recv_refs[5][0]
         n_grp = (cnt_ref[s] if sb_nb else
                  (cnt_ref[s] + _FAN - 1) // _FAN)
+        inv_box = 1.0 / boxsize
+        qinv = boxsize / float(2 ** 22)
+        xref = [cen_ref[s, d].astype(f32) * qinv for d in range(3)]
 
         def issue(g):
             if sb_nb:
@@ -1086,7 +1091,17 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     @pl.when(cond)
                     def _(f=f, slot=slot):
                         row = (slot * _FAN + f) * 4
+                        # hoist the periodic min-image wrap out of the
+                        # (B,B) tile: wrap the source ROW once against
+                        # the row's reference point.  Valid because any
+                        # in-range pair is << box/2 from the receiver
+                        # block, and far sources can only come out
+                        # FARTHER than their min-image distance (never
+                        # aliased into kernel support).
                         xd = [csc[pl.ds(row + d, 1), :] for d in range(3)]
+                        xd = [x - boxsize * jnp.round(
+                            (x - xref[d]) * inv_box)
+                            for d, x in enumerate(xd)]
                         hj = csc[pl.ds(row + 3, 1), :]
                         tile_fn(xd, hj)
                 return carry
@@ -1101,8 +1116,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             def tile(xd, hj):
                 r2 = jnp.zeros((BLOCK, BLOCK), f32)
                 for d in range(3):
-                    dd = xi[d] - xd[d]
-                    dd = dd - boxsize * jnp.round(dd / boxsize)
+                    dd = xi[d] - xd[d]       # sources pre-wrapped
                     r2 += dd * dd
                 vj = (hj > 0).astype(f32)
                 if kernel_kind == "m4":
@@ -1178,7 +1192,6 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                              * mpart * w0)
 
         # ---------------- displacement ----------------
-        inv_box = 1.0 / boxsize
         if do_disp:
             acc_ref[:, 2:5] = jnp.zeros((BLOCK, 3), f32)
 
@@ -1186,9 +1199,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 dx = []
                 r2 = jnp.zeros((BLOCK, BLOCK), f32)
                 for d in range(3):
-                    dd = xi[d] - xd[d]
-                    dd = (dd - boxsize * jnp.round(dd * inv_box)) \
-                        * inv_box
+                    dd = (xi[d] - xd[d]) * inv_box  # pre-wrapped
                     dx.append(dd)
                     r2 += dd * dd
                 hbar = 0.5 * (hm_i + hj)
@@ -1302,7 +1313,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
                    float(boxsize), n_sweeps, nb if sb_mode else 0,
                    do_disp)
 
-    def imap_s(s, cand_ref, cnt_ref, bits_ref):
+    def imap_s(s, cand_ref, cnt_ref, bits_ref, cen_ref):
         return (s, 0, 0)
 
     sc = _row_chunks(S, M + nw)
@@ -1314,11 +1325,17 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
         [cnt.astype(jnp.int32),
          jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
     bits_c = _pad_rows(bits, s_pad).reshape(nchunk, sc, nw)
+    # per-row reference point for the in-kernel wrap hoisting: any point
+    # inside/near the receiver block works — use lane 0, crudely
+    # quantized (the reference only needs to be well within box/2)
+    cen = (xi[:, :, 0] * (float(2 ** 22) / float(boxsize))
+           ).astype(jnp.int32)
+    cen_c = _pad_rows(cen, s_pad).reshape(nchunk, sc, 3)
     recv_c = [_pad_rows(r, s_pad).reshape(nchunk, sc, BLOCK, 1)
               for r in recvs]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(sc,),
         in_specs=(
             [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(6)]
@@ -1354,7 +1371,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
         return o
 
     out = jax.lax.map(run_chunk,
-                      tuple([cand_c, cnt_c, bits_c] + recv_c))
+                      tuple([cand_c, cnt_c, bits_c, cen_c] + recv_c))
     out = out.reshape(-1, BLOCK, 8)[:S]
     rho, h, vf, wk, done_f = (out[:, :, k] for k in range(5))
     delta = out[:, :, 5:8]

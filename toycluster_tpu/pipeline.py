@@ -59,12 +59,14 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
 
     parts = pos_mod.make_positions(key, scene, ha)
+    jax.block_until_ready(parts.pos)  # truthful stage attribution
     log("positions", n=parts.n_total)
 
     pid = ids_mod.make_ids(scene.npart_gas, scene.ntotal)
     parts = parts._replace(pid=jnp.asarray(pid))
 
     parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+    jax.block_until_ready(parts.pos)
     log("shift_origin")
     pos_mod.show_mass_in_r200(scene, parts, log=log)  # main.c:48
 
