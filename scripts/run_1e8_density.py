@@ -38,7 +38,7 @@ def main():
     # sample gas only (the DM half is irrelevant to the density pass)
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    pos = pos_mod.sample_halo_gas(key, ha, 0, N_GAS, scene.boxsize)
+    pos, _ = pos_mod.sample_halo_gas(key, ha, 0, N_GAS, scene.boxsize)
     pos = (pos + ha.d_com[0] + scene.boxhalf) % scene.boxsize
     jax.block_until_ready(pos)
     t_sample = time.perf_counter() - t0
@@ -80,7 +80,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALE_1e8_r02.json")
+        os.path.abspath(__file__))), "SCALE_1e8_r03.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -37,17 +37,24 @@ def _sphere_dirs(key, n):
 def halo_containing_gas(pos_abs, ha: HaloArrays, boxsize, cool_core=None):
     """Which halo owns a gas particle at absolute centred coords:
     the halo with the largest beta-model density at that point among
-    non-stripped halos with r < R_sample_gas (positions.c:363-385)."""
+    non-stripped halos with r < R_sample_gas (positions.c:363-385).
+
+    lax.fori_loop over halos (not a Python unroll): substructure scenes
+    carry ~50 halos and this runs INSIDE the rejection-sampler programs
+    — unrolled it multiplied their compile size ~50x."""
     n = pos_abs.shape[0]
-    best = jnp.zeros((n,), jnp.int32)
-    rho_max = jnp.zeros((n,), pos_abs.dtype)
-    for j in range(ha.n_halos):
+
+    def body(j, carry):
+        best, rho_max = carry
         r = jnp.linalg.norm(pos_abs - ha.d_com[j], axis=-1)
         rho = gas_density_device(r, ha, j, cool_core)
         ok = ((rho > rho_max) & (r < ha.r_sample_gas[j])
               & ~ha.is_stripped[j])
-        best = jnp.where(ok, j, best)
-        rho_max = jnp.where(ok, rho, rho_max)
+        return (jnp.where(ok, j, best), jnp.where(ok, rho, rho_max))
+
+    best, _ = jax.lax.fori_loop(
+        0, ha.n_halos, body,
+        (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), pos_abs.dtype)))
     oob = jnp.any(pos_abs > boxsize, axis=-1)  # positions.c:337-338
     return jnp.where(oob, -1, best)
 
@@ -62,10 +69,16 @@ def halo_containing_dm(pos_abs, ha: HaloArrays, sub_first, boxsize):
         r1 = jnp.linalg.norm(pos_abs - ha.d_com[1], axis=-1)
         best = jnp.where((r1 < ha.r_sample_dm[1]) & (pos_abs[:, 0] > 0),
                          1, best)
-    # first matching subhalo wins (break in the reference) -> scan high to low
-    for j in range(ha.n_halos - 1, sub_first - 1, -1):
+
+    # first matching subhalo wins (break in the reference) -> scan high
+    # to low so the lowest matching j lands last
+    def body(k, best):
+        j = ha.n_halos - 1 - k
         rj = jnp.linalg.norm(pos_abs - ha.d_com[j], axis=-1)
-        best = jnp.where(rj < ha.r_sample_dm[j], j, best)
+        return jnp.where(rj < ha.r_sample_dm[j], j, best)
+
+    best = jax.lax.fori_loop(0, max(ha.n_halos - sub_first, 0), body,
+                             best)
     oob = jnp.any(pos_abs > boxsize, axis=-1)
     return jnp.where(oob, -1, best)
 
@@ -92,11 +105,13 @@ def _rejection_sample(key, n, draw_fn, accept_fn):
     return pos, acc
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def sample_halo_dm(key, ha: HaloArrays, i: int, n: int, sub_first: int,
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def sample_halo_dm(key, ha: HaloArrays, i, n: int, sub_first: int,
                    boxsize: float):
     """Hernquist inverse-CDF sampling with foreign-halo rejection
-    (positions.c:48-88)."""
+    (positions.c:48-88).  The halo index i is DYNAMIC and n is
+    pow2-quantized by the caller, so substructure scenes (~50 halos)
+    compile a handful of programs instead of one per halo."""
     a = ha.a_hernq[i]
     qmax = ha.mass_corr_fac[i]
 
@@ -114,11 +129,12 @@ def sample_halo_dm(key, ha: HaloArrays, i: int, n: int, sub_first: int,
     return _rejection_sample(key, n, draw, accept)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def sample_halo_gas(key, ha: HaloArrays, i: int, n: int, boxsize: float,
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def sample_halo_gas(key, ha: HaloArrays, i, n: int, boxsize: float,
                     cool_core=None):
     """Beta-model sampling by inverting the tabulated M(<r), with
-    foreign-halo and out-of-box rejection (positions.c:90-133)."""
+    foreign-halo and out-of-box rejection (positions.c:90-133).
+    Dynamic halo index / quantized n — see sample_halo_dm."""
     table = SplineTable(ha.minv_x[i], ha.minv_y[i], ha.minv_m2[i])
     boxhalf = boxsize / 2.0
 
@@ -146,20 +162,25 @@ def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
                  if cfg.double_beta_cool_cores else None)
     parts = empty_particles(scene.npart_gas, scene.npart_dm)
 
+    def quant(n):  # pow2-quantized batch: few programs, many halos
+        return 1 << max(n - 1, 1).bit_length()
+
     gas_chunks, gas_halo = [], []
     dm_chunks, dm_halo = [], []
     for i, h in enumerate(scene.halos):
         ki = jax.random.fold_in(key, i)
         kg, kd = jax.random.split(ki)
         if h.npart_gas:
-            pos, acc = sample_halo_gas(kg, ha, i, h.npart_gas,
+            pos, acc = sample_halo_gas(kg, ha, jnp.int32(i),
+                                       quant(h.npart_gas),
                                        scene.boxsize, cool_core)
-            gas_chunks.append(pos)
+            gas_chunks.append(pos[:h.npart_gas])
             gas_halo.append(jnp.full((h.npart_gas,), i, jnp.int32))
         if h.npart_dm:
-            pos, acc = sample_halo_dm(kd, ha, i, h.npart_dm,
+            pos, acc = sample_halo_dm(kd, ha, jnp.int32(i),
+                                      quant(h.npart_dm),
                                       scene.sub_first, scene.boxsize)
-            dm_chunks.append(pos)
+            dm_chunks.append(pos[:h.npart_dm])
             dm_halo.append(jnp.full((h.npart_dm,), i, jnp.int32))
 
     pos = jnp.concatenate(

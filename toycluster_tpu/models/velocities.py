@@ -220,6 +220,12 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
         dm_offsets.append(off)
         off += h.npart_dm
 
+    # per-halo chunks concatenated once (DM blocks are contiguous):
+    # at[slice].set per halo would compile a scatter variant per distinct
+    # halo size, and un-quantized sampler shapes one program per halo —
+    # ruinous for ~50-subhalo scenes (compiles priced 0.4-400 s each on
+    # the shared remote compile service)
+    dm_chunks = []
     for i, h in enumerate(scene.halos):
         if h.npart_dm == 0:
             continue
@@ -238,12 +244,18 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
                 scene, host_df, np.random.default_rng(cfg.seed + 99))
             bulk_vel = [jnp.asarray(b, jnp.float32) for b in bulks]
         sl = slice(dm_offsets[i], dm_offsets[i] + h.npart_dm)
+        n_q = 1 << max(h.npart_dm - 1, 1).bit_length()
         d = parts.pos[sl] - (ha.d_com[i] + boxhalf)
         r = jnp.linalg.norm(d, axis=-1)
+        r_pad = jnp.concatenate(
+            [r, jnp.broadcast_to(r[-1:], (n_q - h.npart_dm,))])
         ki = jax.random.fold_in(key, 1000 + i)
-        v = sample_speeds(ki, vt, r)
-        dirs = _sphere_dirs(jax.random.fold_in(ki, 1), h.npart_dm)
-        vel = vel.at[sl].set(v[:, None] * dirs + bulk_vel[i])
+        v = sample_speeds(ki, vt, r_pad)[:h.npart_dm]
+        dirs = _sphere_dirs(jax.random.fold_in(ki, 1),
+                            n_q)[:h.npart_dm]
+        dm_chunks.append(v[:, None] * dirs + bulk_vel[i])
+    if dm_chunks:
+        vel = jnp.concatenate([vel[:n_gas]] + dm_chunks)
 
     # gas bulk velocities (velocities.c:119-151)
     if n_gas:
