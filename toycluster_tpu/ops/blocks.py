@@ -268,10 +268,18 @@ def find_candidates_super(bi: BlockIndex, rec_ids, radius, radius_sym,
         # (globals.h:50); affected lanes accept a capped h via the
         # callers' saturation policy
         key = jnp.where(hit, d2, jnp.inf)
-        idx = jnp.argsort(key, axis=1)[:, :max_cand].astype(jnp.int32)
+        # top-k nearest (a full argsort is quadratic-ish in ns at the
+        # 1e8 scale: ns ~ 1e5 superblocks)
+        k = min(max_cand, ns)
+        _, idx = jax.lax.top_k(-key, k)
+        idx = idx.astype(jnp.int32)
         hit_sel = jnp.take_along_axis(hit, idx, axis=1)
+        idx = jnp.where(hit_sel, idx, -1)
+        if k < max_cand:
+            idx = jnp.pad(idx, ((0, 0), (0, max_cand - k)),
+                          constant_values=-1)
         count = hit.sum(axis=1)
-        return jnp.where(hit_sel, idx, -1), count
+        return idx, count
 
     idx, count = jax.lax.map(
         chunk_fn, rec_pad.reshape(nchunk, _CAND_CHUNK))

@@ -1374,5 +1374,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
                       tuple([cand_c, cnt_c, bits_c, cen_c] + recv_c))
     out = out.reshape(-1, BLOCK, 8)[:S]
     rho, h, vf, wk, done_f = (out[:, :, k] for k in range(5))
-    delta = out[:, :, 5:8]
+    # density-only callers never read delta; at 1e8 the extra (S, B, 3)
+    # extraction is 1.2 GB of HBM
+    delta = out[:, :, 5:8] if do_disp else None
     return rho, h, vf, wk, done_f > 0.5, delta
