@@ -178,6 +178,9 @@ def write_scene_snapshot(path: str, scene, parts) -> GadgetHeader:
         pos=_np.asarray(parts.pos), vel=_np.asarray(parts.vel),
         ids=_np.asarray(parts.pid),
         u=_np.asarray(parts.u), rho=_np.asarray(parts.rho),
-        hsml=_np.asarray(parts.hsml), bfld=_np.asarray(parts.bfld),
+        hsml=_np.asarray(parts.hsml),
+        bfld=(_np.asarray(parts.bfld)
+              if parts.bfld.shape[0] == parts.n_gas else
+              _np.zeros((parts.n_gas, 3), _np.float32)),
         rho_model=_np.asarray(parts.rho_model))
     return header

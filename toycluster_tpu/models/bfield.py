@@ -10,6 +10,7 @@ subhalos, magnetic_field.c:71-131).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import constants as const
@@ -31,13 +32,16 @@ def set_vector_potential(scene: Scene, ha: HaloArrays, parts: Particles
     cool_core = ((cfg.rho0_fac, cfg.rc_fac)
                  if cfg.double_beta_cool_cores else None)
     pos = parts.pos[:n_gas]
-    a_max = jnp.zeros((n_gas,), jnp.float32)
-    for j in range(ha.n_halos):
+
+    def body(j, a_max):  # fori: see sph.global_density_model
         r = jnp.linalg.norm(pos - (ha.d_com[j] + boxhalf), axis=-1)
         rho_j = gas_density_device(r, ha, j, cool_core)
         a_j = (rho_j / ha.rho0[j]) ** jnp.float32(cfg.bfld_eta)
         a_j = jnp.where(ha.mass_gas[j] > 0, a_j, 0.0)
-        a_max = jnp.maximum(a_max, a_j)
+        return jnp.maximum(a_max, a_j)
+
+    a_max = jax.lax.fori_loop(0, ha.n_halos, body,
+                              jnp.zeros((n_gas,), jnp.float32))
     return parts._replace(apot=jnp.repeat(a_max[:, None], 3, axis=1))
 
 

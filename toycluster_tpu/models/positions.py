@@ -195,11 +195,24 @@ def shift_origin(parts: Particles, ha: HaloArrays, boxsize: float
                  ) -> Particles:
     """Move halos to their CoM offsets, add bulk velocities, shift the origin
     to the box corner and wrap periodically (setup.c:427-500)."""
-    shift = ha.d_com[parts.halo] + boxsize / 2.0
-    pos = parts.pos + shift
-    pos = pos - jnp.floor(pos / boxsize) * boxsize
-    vel = parts.vel + ha.bulk_vel[parts.halo]
+    pos, vel = _shift_origin_jit(parts.pos, parts.vel, parts.halo,
+                                 ha.d_com, ha.bulk_vel, boxsize)
     return parts._replace(pos=pos, vel=vel)
+
+
+@jax.jit
+def _shift_origin_jit(pos, vel, halo, d_com, bulk_vel, boxsize):
+    # per-COLUMN gathers on purpose: a (N, 3) gather output (eager or
+    # fused) gets tile-padded 3 -> 128 lanes on this TPU backend — a
+    # 51 GB allocation at 1e8.  (N,) takes tile normally.
+    cols_p, cols_v = [], []
+    for d in range(3):
+        sh = jnp.take(d_com[:, d], halo)
+        pd = pos[:, d] + sh + boxsize / 2.0
+        pd = pd - jnp.floor(pd / boxsize) * boxsize
+        cols_p.append(pd)
+        cols_v.append(vel[:, d] + jnp.take(bulk_vel[:, d], halo))
+    return jnp.stack(cols_p, axis=1), jnp.stack(cols_v, axis=1)
 
 
 def reassign_gas_to_halos(parts: Particles, ha: HaloArrays, boxsize: float,
@@ -216,14 +229,19 @@ def reassign_gas_to_halos(parts: Particles, ha: HaloArrays, boxsize: float,
     def permute_gas(arr):
         return arr.at[:n_gas].set(arr[:n_gas][order]) if arr.ndim else arr
 
+    def permute_gasonly(arr):  # lazy fields may be unallocated
+        return arr[order] if arr.shape[0] == n_gas else arr
+
     new = parts._replace(
         pos=permute_gas(parts.pos), vel=permute_gas(parts.vel),
         pid=permute_gas(parts.pid),
         halo=parts.halo.at[:n_gas].set(owner[order]),
-        u=parts.u[order], rho=parts.rho[order], hsml=parts.hsml[order],
-        var_hsml_fac=parts.var_hsml_fac[order],
-        rho_model=parts.rho_model[order], bfld=parts.bfld[order],
-        apot=parts.apot[order])
+        u=permute_gasonly(parts.u), rho=permute_gasonly(parts.rho),
+        hsml=permute_gasonly(parts.hsml),
+        var_hsml_fac=permute_gasonly(parts.var_hsml_fac),
+        rho_model=permute_gasonly(parts.rho_model),
+        bfld=permute_gasonly(parts.bfld),
+        apot=permute_gasonly(parts.apot))
     return new, counts
 
 

@@ -47,15 +47,25 @@ def _engine() -> str:
 
 def global_density_model(pos_box, ha: HaloArrays, boxsize, cool_core=None):
     """max over gas-bearing halos of the beta-model density at a box
-    position (wvt_relax.c:227-256)."""
+    position (wvt_relax.c:227-256).
+
+    lax.fori_loop over halos: Python-unrolled, a ~70-halo substructure
+    scene keeps O(halos) particle-sized temporaries live inside the
+    surrounding jit (measured OOM at 3e7 gas) and bloats the program."""
     boxhalf = boxsize / 2.0
-    rho = jnp.zeros(pos_box.shape[:-1], pos_box.dtype)
-    for j in range(ha.n_halos):
+
+    def body(j, rho):
         r = jnp.linalg.norm(pos_box - (ha.d_com[j] + boxhalf), axis=-1)
         rho_j = gas_density_device(r, ha, j, cool_core)
         rho_j = jnp.where(ha.mass_gas[j] > 0, rho_j, 0.0)
-        rho = jnp.maximum(rho, rho_j)
-    return rho
+        return jnp.maximum(rho, rho_j).astype(rho.dtype)
+
+    # init derived from pos_box so the carry is device-varying under
+    # shard_map (a plain zeros carry is "unvarying" and fori_loop
+    # rejects the mismatch)
+    return jax.lax.fori_loop(
+        0, ha.n_halos, body,
+        jnp.zeros_like(pos_box[..., 0]).astype(jnp.float32))
 
 
 def model_hsml(pos_box, ha, mpart, desnngb, boxsize, cool_core=None):
@@ -73,12 +83,17 @@ def permute_gas(parts: Particles, order) -> Particles:
     def perm(arr):
         return arr.at[:n_gas].set(arr[:n_gas][order])
 
+    def perm_gas(arr):  # lazy gas fields may be unallocated (see
+        #                 particles.empty_particles)
+        return arr[order] if arr.shape[0] == n_gas else arr
+
     return parts._replace(
         pos=perm(parts.pos), vel=perm(parts.vel), pid=perm(parts.pid),
-        halo=perm(parts.halo), u=parts.u[order], rho=parts.rho[order],
-        hsml=parts.hsml[order], var_hsml_fac=parts.var_hsml_fac[order],
-        rho_model=parts.rho_model[order], bfld=parts.bfld[order],
-        apot=parts.apot[order])
+        halo=perm(parts.halo), u=perm_gas(parts.u),
+        rho=perm_gas(parts.rho), hsml=perm_gas(parts.hsml),
+        var_hsml_fac=perm_gas(parts.var_hsml_fac),
+        rho_model=perm_gas(parts.rho_model), bfld=perm_gas(parts.bfld),
+        apot=perm_gas(parts.apot))
 
 
 class NeighbourState(NamedTuple):

@@ -259,17 +259,32 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
 
     # gas bulk velocities (velocities.c:119-151)
     if n_gas:
-        gas_halo = parts.halo[:n_gas]
-        bulk_stack = jnp.stack(bulk_vel)
-        bulk = bulk_stack[gas_halo]
-        wk = jnp.ones((n_gas,), jnp.float32)
-        for i in range(scene.sub_first, scene.nhalos):
-            hsub = scene.halos[i]
-            hh = hsub.r_sample_gas * 1.1
-            norm = 21.0 / 2.0 / const.PI / hh**3
-            d = parts.pos[:n_gas] - (ha.d_com[i] + boxhalf)
-            r = jnp.linalg.norm(d, axis=-1)
-            wk = jnp.where(gas_halo == i, _wc2(r, hh) / norm, wk)
-        vel = vel.at[:n_gas].add(bulk * wk[:, None])
+        sub_hh = jnp.asarray(
+            [h.r_sample_gas * 1.1 for h in scene.halos], jnp.float32)
+        vel = vel.at[:n_gas].add(_gas_bulk_jit(
+            parts.pos[:n_gas], parts.halo[:n_gas],
+            jnp.stack(bulk_vel), ha.d_com, sub_hh, scene.sub_first,
+            scene.nhalos, boxhalf))
 
     return parts._replace(vel=vel)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _gas_bulk_jit(pos, gas_halo, bulk_stack, d_com, sub_hh, sub_first,
+                  n_halos, boxhalf):
+    """Per-COLUMN gathers on purpose — a (N, 3) gather output gets
+    tile-padded 3 -> 128 lanes on this TPU backend (see
+    positions._shift_origin_jit); subhalo WC2 tapers via fori_loop."""
+    bulk = jnp.stack(
+        [jnp.take(bulk_stack[:, d], gas_halo) for d in range(3)],
+        axis=1)
+
+    def body(i, wk):
+        hh = sub_hh[i]
+        norm = 21.0 / 2.0 / const.PI / hh**3
+        r = jnp.linalg.norm(pos - (d_com[i] + boxhalf), axis=-1)
+        return jnp.where(gas_halo == i, _wc2(r, hh) / norm, wk)
+
+    wk = jax.lax.fori_loop(sub_first, n_halos, body,
+                           jnp.ones(pos.shape[:1], jnp.float32))
+    return bulk * wk[:, None]

@@ -71,6 +71,104 @@ def _move(pos_gas, delta_box, boxsize):
 _ITER_FN_CACHE: dict = {}
 
 
+_LARGE_N = 8_000_000  # above this the iteration runs as jitted
+#                       prologue/epilogue + host-slabbed stream calls
+#                       (one mega-program exceeds 16 GB HBM at 3e7+)
+
+
+def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
+                        kernel, cool_core):
+    """Large-N WVT iteration: same signature/results as the mega-jit
+    iter_fn, but the stream kernel runs per receiver-row slab as its own
+    dispatch so peak HBM scales with the slab, not the particle count.
+    A few extra dispatches (~20 ms each) are noise against the tens of
+    seconds such an iteration takes."""
+    from ..ops.pallas_pair import stream_skip_bits, stream_wvt_pallas
+
+    nb = n_padded // blk.BLOCK
+    pad = n_padded - n_gas
+    _SLAB = 65536
+
+    @jax.jit
+    def prologue(pos_gas, h_prev, ha, n_gas_d):
+        rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
+                                                 cool_core)
+        h_box = _metric_hsml(rho_model, mpart, desnngb)
+        h0_model = (desnngb * mpart / rho_model
+                    / const.FOURPITHIRD) ** (1.0 / 3.0)
+        h0 = jnp.where(h_prev > 0, h_prev, h0_model)
+
+        def pad1(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])])
+
+        pos_pad = (pos_gas if pad == 0 else jnp.concatenate(
+            [pos_gas, jnp.broadcast_to(pos_gas[-1], (pad, 3))]))
+        valid = jnp.arange(n_padded) < n_gas_d
+        h0_s = pad1(h0)
+        hm_s = pad1(h_box)
+        hm_src = jnp.where(valid, hm_s, 0.0)
+        pos_t = pos_pad.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+        src = jnp.concatenate(
+            [pos_t, hm_src.reshape(nb, 1, blk.BLOCK)], axis=1)
+        pos_b = pos_pad.reshape(nb, blk.BLOCK, 3)
+        # NB pos_t is NOT returned: receiver coords come from src slabs
+        # (one less particle-sized standing array)
+        return (rho_model, hm_s, h0_s.reshape(nb, blk.BLOCK),
+                hm_s.reshape(nb, blk.BLOCK), src,
+                pos_b.min(axis=1), pos_b.max(axis=1),
+                hm_src.reshape(nb, blk.BLOCK).max(axis=1))
+
+    @jax.jit
+    def epilogue(rho, hsml, vf, delta, rho_model, hm_s, h_cap_pad,
+                 done_f, growable, n_gas_d):
+        valid = jnp.arange(n_padded) < n_gas_d
+        done = done_f > 0.5
+        still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
+        saturated = (~done) | (hsml >= h_cap_pad * 0.999)
+        gpad = jnp.concatenate(
+            [growable, jnp.zeros((pad,), bool)]) if pad else growable
+        n_sat = jnp.where(valid & saturated & still_growable & gpad,
+                          1, 0).sum()
+        err = jnp.abs(rho[:n_gas] - rho_model) / rho_model
+        dmax_rel = jnp.max(
+            jnp.linalg.norm(delta[:n_gas], axis=1)
+            / jnp.maximum(hm_s[:n_gas], 1e-30))
+        return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], delta[:n_gas],
+                rho_model, err.max(), err.mean(), n_sat, dmax_rel)
+
+    def iter_fn(pos_gas, h_prev, h_cap_pad, cand_idx, count, class_ids,
+                tail, ha, growable, n_gas_d):
+        (rho_model, hm_s, h0_b, hm_b, src,
+         bb_lo, bb_hi, bhm) = prologue(pos_gas, h_prev, ha, n_gas_d)
+        cap_b = h_cap_pad.reshape(nb, blk.BLOCK)
+        cnt_all = jnp.minimum(count, cand_idx.shape[1])
+        outs = [[] for _ in range(5)]  # rho, h, vf, done, delta
+        for s0 in range(0, nb, _SLAB):
+            s1 = min(s0 + _SLAB, nb)
+            ids = jnp.arange(s0, s1, dtype=jnp.int32)
+            bits = stream_skip_bits(
+                bb_lo, bb_hi, bhm, ids, cand_idx[s0:s1], cap_b[s0:s1],
+                hm_b[s0:s1], float(boxsize), sb=True)
+            rho_s, h_s2, vf_s, _wk, done_s, delta_s = stream_wvt_pallas(
+                src, cand_idx[s0:s1], cnt_all[s0:s1], src[s0:s1, :3, :],
+                h0_b[s0:s1], cap_b[s0:s1], hm_b[s0:s1], float(mpart),
+                float(boxsize), kernel=kernel, desnngb=desnngb,
+                sb_mode=True, bits=bits)
+            for o, r in zip(outs, (rho_s, h_s2, vf_s, done_s, delta_s)):
+                o.append(r)
+        rho, hsml, vf, done, delta = (jnp.concatenate(o) for o in outs)
+        return epilogue(rho.reshape(-1), hsml.reshape(-1),
+                        vf.reshape(-1), delta.reshape(-1, 3), rho_model,
+                        hm_s, h_cap_pad,
+                        done.reshape(-1).astype(jnp.float32), growable,
+                        n_gas_d)
+
+    return iter_fn
+
+
 def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                  kernel, cool_core, engine, tail_shape=None):
     from ..ops import blocks as blk
@@ -80,6 +178,12 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
            cool_core, engine, tail_shape)
     if key in _ITER_FN_CACHE:
         return _ITER_FN_CACHE[key]
+
+    if engine == "pallas" and n_gas > _LARGE_N:
+        fn = _make_large_iter_fn(n_gas, n_padded, mpart, boxsize,
+                                 desnngb, kernel, cool_core)
+        _ITER_FN_CACHE[key] = fn
+        return fn
 
     nb = n_padded // blk.BLOCK
     pad = n_padded - n_gas
@@ -130,16 +234,17 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             from ..ops.pallas_pair import (stream_skip_bits,
                                            stream_wvt_pallas)
             src_blocks = jnp.concatenate([pos_t, hm_blocks], axis=1)
-            rows = cand_idx
-            cnt = jnp.minimum(count, rows.shape[1])
+            cnt_all = jnp.minimum(count, cand_idx.shape[1])
             pos_b = pos_pad.reshape(nb, blk.BLOCK, 3)
+            bb_lo = pos_b.min(axis=1)
+            bb_hi = pos_b.max(axis=1)
             bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
+
             bits = stream_skip_bits(
-                pos_b.min(axis=1), pos_b.max(axis=1), bhm,
-                jnp.arange(nb, dtype=jnp.int32), rows, cap_b, hm_b,
-                float(boxsize), sb=True)
+                bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
+                cand_idx, cap_b, hm_b, float(boxsize), sb=True)
             rho, h, vf, wk, done, delta = stream_wvt_pallas(
-                src_blocks, rows, cnt, pos_t, h0_b, cap_b, hm_b,
+                src_blocks, cand_idx, cnt_all, pos_t, h0_b, cap_b, hm_b,
                 float(mpart), float(boxsize),
                 kernel=kernel, desnngb=desnngb, sb_mode=True, bits=bits)
             outs = [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
@@ -268,10 +373,21 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     err_limit = cfg.wvt_err_diff_limit
     it0 = 0
 
+    # ---- gas-local loop state --------------------------------------
+    # The loop works on GAS-ONLY arrays and accumulates the Hilbert
+    # permutation across builds (order_acc), applying it to the full
+    # particle set ONCE at the end: per-build permute_gas (eleven
+    # particle-count gathers) and the per-iteration full-pos scatter
+    # copied ~4 GB per iteration at 1e8-total scenes and pushed the
+    # standing memory over HBM.
+    pos_gas = jnp.array(parts.pos[:n_gas])
+    h_prev = jnp.array(parts.hsml[:n_gas])
+    order_acc = jnp.arange(n_gas, dtype=jnp.int32)
+    rho_l = hsml_l = vf_l = rho_model_l = None
+
     if checkpoint_path and _os.path.exists(checkpoint_path):
         ck = _np.load(checkpoint_path)
-        parts = parts._replace(
-            pos=parts.pos.at[:n_gas].set(jnp.asarray(ck["pos_gas"])))
+        pos_gas = jnp.asarray(ck["pos_gas"])
         step = float(ck["step"])
         err_last = float(ck["err_last"])
         err_diff_last = float(ck["err_diff_last"])
@@ -284,40 +400,28 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     class_ids = None
     engine = sph_mod._engine()
     fresh = False
-    # persistent per-particle cap factor (parts order, permuted at each
+    # persistent per-particle cap factor (loop order, permuted at each
     # build): lanes whose h keeps growing >20% per iteration (sparse
     # outskirts of merger configs) would otherwise saturate and force a
     # rebuild + re-solve EVERY iteration once the rebuild resets their
     # cap to 1.2x h_prev.  With the skip bits pruning the density tiles
     # to the actual h, a ratcheted cap costs only list width, not flops.
+    # Runaway guard: past _FAC_MAX a lane accepts the cap-clamped h —
+    # the reference's NGBMAX=2360 list cap (globals.h:50) role.
     fac_gas = jnp.full((n_gas,), sph_mod._CAP_FACTOR, jnp.float32)
-    # runaway guard: a handful of void-edge lanes can demand >1.6x h
-    # growth EVERY iteration (their neighbours flee faster than the cap
-    # ratchet); past _FAC_MAX they keep the cap-clamped h — the
-    # reference's NGBMAX=2360 list cap (globals.h:50) plays exactly this
-    # accept-the-cap role
-
 
     for it in range(it0, max_iter + 1):
-        # --- fused iteration: ONE neighbour structure serves the density
-        # solve AND the displacement pass (the reference builds one tree
-        # per iteration and walks it twice, wvt_relax.c:66-171); the
-        # structure is reused across REBUILD_EVERY iterations and the
-        # whole iteration compiles to a single dispatched program ---
-        # structures carrying far-tail rows are not reused across
-        # iterations: re-invoking a compiled program with a large
-        # superblock-tail crashes the TPU runtime (observed kernel fault
-        # on the second invocation only — single-invocation and
-        # tail-free programs are stable), so those regimes rebuild
+        # ONE neighbour structure serves the density solve AND the
+        # displacement pass (the reference builds one tree per iteration
+        # and walks it twice, wvt_relax.c:66-171); the structure is
+        # reused across REBUILD_EVERY iterations
         if its_since_build >= REBUILD_EVERY or (
                 state is not None and state.tail is not None):
             state = None
 
         grow_mask = None   # per-particle: only saturated lanes get the
-        #                    grown cap, so windows (and tails) stay tight
+        #                    grown cap, so windows stay tight
         for attempt in range(sph_mod._MAX_REBUILDS + 1):
-            pos_gas = parts.pos[:n_gas]
-            h_prev = parts.hsml[:n_gas]
             if state is None:
                 rho_model = sph_mod.global_density_model(
                     pos_gas, ha, boxsize, cool_core)
@@ -336,22 +440,25 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 state = sph_mod.build_neighbours(
                     pos_gas, h_cap_gas, boxsize,
                     radius_sym_gas=h_box * boxsize * _SYM_MARGIN)
-                # adopt the sorted layout once per build
-                # (peano.c:85-126 permutation analogue)
-                parts = sph_mod.permute_gas(parts, state.index.order)
-                fac_gas = fac_gas[state.index.order]
-                pos_gas = parts.pos[:n_gas]
-                h_prev = parts.hsml[:n_gas]
+                del rho_model, h_box, h0_model, h0, h_cap_gas
+                # adopt the sorted layout (peano.c:85-126 analogue) on
+                # the LOOP arrays; order_acc composes for the end
+                order = state.index.order
+                order_acc = order_acc[order]
+                pos_gas = state.index.pos[:n_gas]
+                h_prev = h_prev[order]
+                fac_gas = fac_gas[order]
                 if engine == "pallas":
                     # the stream kernel needs no count classes: one call
-                    # covers all rows at (nb, max_cand) — the program
-                    # shape depends only on the candidate width
+                    # covers all rows — the program shape depends only
+                    # on the candidate width
                     class_shape = ()
                     class_ids = ()
                 else:
                     sels = sph_mod.classed_selections(state)
                     class_shape = tuple((m, len(ids)) for m, ids in sels)
-                    class_ids = tuple(jnp.asarray(ids) for _, ids in sels)
+                    class_ids = tuple(jnp.asarray(ids)
+                                      for _, ids in sels)
                 tail_shape = (None if state.tail is None else
                               (len(state.tail[0]),
                                state.tail[1].shape[1]))
@@ -388,10 +495,12 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 break
             # saturation: the build-time search radius no longer covers
             # the needed h — rebuild, growing the cap ONLY for the
-            # cap-limited lanes (a global grow inflates every window and
-            # explodes the far-tail row count)
+            # cap-limited lanes.  Free this attempt's outputs first: at
+            # 5e7 gas they are ~1.5 GB that must not ride through the
+            # next build+solve.
             grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
-            parts = parts._replace(hsml=hsml)
+            h_prev = hsml
+            del out, rho, hsml, vf, delta_box, rho_model_s
             state = None
         else:
             raise RuntimeError(
@@ -399,8 +508,8 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 f"{sph_mod._MAX_REBUILDS} rebuilds")
         its_since_build += 1
 
-        parts = parts._replace(rho=rho, hsml=hsml, var_hsml_fac=vf,
-                               rho_model=rho_model_s)
+        rho_l, hsml_l, vf_l, rho_model_l = rho, hsml, vf, rho_model_s
+        h_prev = hsml
 
         err_max = float(err_max_d)
         err_mean = float(err_mean_d)
@@ -424,14 +533,23 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         err_last = err_mean
         err_diff_last = err_diff
 
-        new_pos = _move(pos_gas, delta_box * step, boxsize)
-        parts = parts._replace(
-            pos=parts.pos.at[:n_gas].set(new_pos))
+        pos_gas = _move(pos_gas, delta_box * step, boxsize)
 
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
+            # saved in ORIGINAL particle order so a fresh process (with
+            # identity order_acc) resumes cleanly
+            pos_ck = jnp.zeros_like(pos_gas).at[order_acc].set(pos_gas)
             with open(checkpoint_path, "wb") as fh:
-                _np.savez(fh, pos_gas=_np.asarray(new_pos), step=step,
+                _np.savez(fh, pos_gas=_np.asarray(pos_ck), step=step,
                           err_last=err_last, err_diff_last=err_diff_last,
                           it=it)
 
+    # fold the accumulated permutation into the full particle set once,
+    # then install the loop results (already in the final order)
+    parts = sph_mod.permute_gas(parts, order_acc)
+    parts = parts._replace(pos=parts.pos.at[:n_gas].set(pos_gas))
+    if rho_l is not None:
+        parts = parts._replace(rho=rho_l, hsml=hsml_l,
+                               var_hsml_fac=vf_l,
+                               rho_model=rho_model_l)
     return (parts, fresh) if return_fresh else parts

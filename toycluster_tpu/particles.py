@@ -59,8 +59,10 @@ def empty_particles(n_gas: int, n_dm: int) -> Particles:
         hsml=jnp.zeros((n_gas,), jnp.float32),
         var_hsml_fac=jnp.zeros((n_gas,), jnp.float32),
         rho_model=jnp.zeros((n_gas,), jnp.float32),
-        bfld=jnp.zeros((n_gas, 3), jnp.float32),
-        apot=jnp.zeros((n_gas, 3), jnp.float32),
+        # bfld/apot are LAZY (allocated by the B-field stage): 1.2 GB
+        # of zeros at 5e7 gas otherwise rides through the whole WVT loop
+        bfld=jnp.zeros((0, 3), jnp.float32),
+        apot=jnp.zeros((0, 3), jnp.float32),
     )
 
 
