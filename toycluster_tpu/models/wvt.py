@@ -448,6 +448,14 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 pos_gas = state.index.pos[:n_gas]
                 h_prev = h_prev[order]
                 fac_gas = fac_gas[order]
+                del order
+                # the sorted positions and permutation are adopted into
+                # the loop arrays; dropping them from the retained state
+                # frees ~1 GB at 5e7 gas
+                state = state._replace(index=state.index._replace(
+                    pos=jnp.zeros((state.index.n_padded, 0),
+                                  jnp.float32),
+                    order=jnp.zeros((0,), jnp.int32)))
                 if engine == "pallas":
                     # the stream kernel needs no count classes: one call
                     # covers all rows — the program shape depends only
@@ -479,6 +487,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                           jnp.int32(n_gas))
             (rho, hsml, vf, delta_box, rho_model_s, err_max_d,
              err_mean_d, n_sat_d, dmax_rel_d) = out
+            del out  # the tuple would pin ~1.5 GB at 5e7 gas
             n_sat = int(n_sat_d)
             if n_sat == 0:
                 break
@@ -500,7 +509,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             # next build+solve.
             grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
             h_prev = hsml
-            del out, rho, hsml, vf, delta_box, rho_model_s
+            del rho, hsml, vf, delta_box, rho_model_s
             state = None
         else:
             raise RuntimeError(
@@ -534,6 +543,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         err_diff_last = err_diff
 
         pos_gas = _move(pos_gas, delta_box * step, boxsize)
+        del delta_box
 
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             # saved in ORIGINAL particle order so a fresh process (with
