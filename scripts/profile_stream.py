@@ -99,12 +99,13 @@ def main():
     bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
     ids = jnp.arange(nb, dtype=jnp.int32)
 
-    bits = timed("skip_bits (packed, chunked)", lambda: stream_skip_bits(
-        bi.bb_lo, bi.bb_hi, bhm, ids, state.cand.idx, cap_b, hm_b,
-        float(boxsize), sb=True))
+    bits, safe = timed(
+        "skip_bits (packed, chunked)", lambda: stream_skip_bits(
+            bi.bb_lo, bi.bb_hi, bhm, ids, state.cand.idx, cap_b, hm_b,
+            float(boxsize), sb=True))
 
     kw = dict(kernel=cfg.sph_kernel, desnngb=desnngb, sb_mode=True,
-              bits=bits)
+              bits=bits, safe=safe)
     args = (src, state.cand.idx, cnt, pos_t, h0_b, cap_b, hm_b,
             float(mpart), float(boxsize))
     o = timed("stream kernel (density+disp)",

@@ -77,14 +77,14 @@ def main():
             s1 = min(s0 + slab, nb)
             ids = jnp.arange(s0, s1, dtype=jnp.int32)
             rows = state.cand.idx[s0:s1]
-            bits = stream_skip_bits(
+            bits, safe = stream_skip_bits(
                 bi.bb_lo, bi.bb_hi, None, ids, rows, cap_b[s0:s1],
                 None, float(boxsize), sb=True)
             rho, h, vf, wk, done, _ = stream_wvt_pallas(
                 src, rows, state.cand.count[s0:s1], pos_t[s0:s1],
                 h0_b[s0:s1], cap_b[s0:s1], h0_b[s0:s1], float(mpart),
                 float(boxsize), kernel=cfg.sph_kernel, desnngb=desnngb,
-                do_disp=False, sb_mode=True, bits=bits)
+                do_disp=False, sb_mode=True, bits=bits, safe=safe)
             for o, r in zip(outs, (rho, h, wk, done)):
                 o.append(r.reshape(-1))
         rho, h, wk, done = (jnp.concatenate(o) for o in outs)

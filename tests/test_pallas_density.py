@@ -357,3 +357,103 @@ def test_stream_kernel_matches_xla(setup):
         np.asarray(d_s).reshape(-1, 3)[vm],
         np.asarray(d_xla)[ref_idx][vm], rtol=2e-4,
         atol=1e-6 * scale)
+
+
+def test_stream_wrap_fallback_small_box():
+    """Hoisted-wrap guard (ADVICE r1): in a small periodic box where
+    receiver extent + pair range exceeds box/2, rows must fall back to
+    per-pair min-image wrapping — densities must still match the XLA
+    solver, which always wraps per pair."""
+    from toycluster_tpu.ops.pallas_pair import stream_wvt_pallas
+
+    box = 100.0
+    n = 600
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray((rng.random((n, 3)) * box).astype(np.float32))
+    bi = blk.build_blocks(pos, box)
+    nb = bi.n_blocks
+    h0 = jnp.full((bi.n_padded,), 12.0, jnp.float32)
+    cap = jnp.full((bi.n_padded,), box / 3.0, jnp.float32)
+    radius = cap.reshape(nb, blk.BLOCK).max(axis=1)
+    cand = blk.find_candidates(bi, radius, box, max_cand=nb)
+    assert int(cand.overflow) <= 0
+
+    sel = pair_ops.full_selection(bi, cand.idx)
+    res = pair_ops.solve_density(bi, sel, h0, cap, 1.0, box,
+                                 kernel="wc6", desnngb=DESNNGB,
+                                 max_iter=24)
+    h_box = h0 / box
+    d_xla = pair_ops.wvt_displacement(bi, sel, h_box, 1.0, box)
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    hm_sorted = jnp.where(bi.valid, h_box, 0.0)
+    src = jnp.concatenate(
+        [pos_t, hm_sorted.reshape(nb, 1, blk.BLOCK)], axis=1)
+    h0_b = h0.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    hm_b = h_box.reshape(nb, blk.BLOCK)
+
+    # the guard must actually engage here: extent + range >= box/2
+    ext_half = 0.5 * (pos_t.max(axis=2) - pos_t.min(axis=2))
+    r_pair = cap_b.max(axis=1)
+    assert bool(jnp.any(ext_half.max(axis=1) + r_pair
+                        >= 0.49 * box)), "test geometry too tame"
+
+    rho, h, vf, wk, done, delta = stream_wvt_pallas(
+        src, cand.idx, cand.count, pos_t, h0_b, cap_b, hm_b, 1.0, box,
+        kernel="wc6", desnngb=DESNNGB, n_sweeps=24, interpret=True)
+
+    v = np.asarray(bi.valid)
+    done_x = np.asarray(res.done) & v
+    done_p = np.asarray(done).reshape(-1) & v
+    assert done_p.sum() >= 0.97 * done_x.sum()
+    both = done_x & done_p
+    np.testing.assert_allclose(np.asarray(h).reshape(-1)[both],
+                               np.asarray(res.hsml)[both], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(rho).reshape(-1)[both],
+                               np.asarray(res.rho)[both], rtol=2e-3)
+    a = np.asarray(d_xla)[v]
+    b = np.asarray(delta).reshape(-1, 3)[v]
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-5 * scale)
+
+
+def test_stream_count_clamp_overflowed_lists():
+    """Counts larger than the list width (the _SB_WIDTH_CAP nearest-
+    superblock truncation reports TRUE hit counts) must be clamped
+    in-kernel instead of indexing past the prefetched row."""
+    from toycluster_tpu.ops.pallas_pair import stream_wvt_pallas
+
+    box = 1000.0
+    n = 700
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(
+        (box / 2 + rng.normal(size=(n, 3)) * 40.0).astype(np.float32)
+        % box)
+    bi = blk.build_blocks(pos, box)
+    nb = bi.n_blocks
+    h0 = jnp.full((bi.n_padded,), 30.0, jnp.float32)
+    cap = h0 * 3.0
+    radius = cap.reshape(nb, blk.BLOCK).max(axis=1)
+    ns = bi.sb_lo.shape[0]
+    rec = jnp.arange(nb, dtype=jnp.int32)
+    # truncated lists: max_cand=1 keeps only the nearest superblock but
+    # count reports the full hit count (> width)
+    cand_sb = blk.find_candidates_super(bi, rec, radius, radius, box,
+                                        max_cand=1)
+    assert int(cand_sb.count.max()) > 1 or ns == 1
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    hm = jnp.where(bi.valid, h0 / box, 0.0)
+    src = jnp.concatenate([pos_t, hm.reshape(nb, 1, blk.BLOCK)], axis=1)
+    rho, h, vf, wk, done, delta = stream_wvt_pallas(
+        src, cand_sb.idx, cand_sb.count, pos_t,
+        h0.reshape(nb, blk.BLOCK), cap.reshape(nb, blk.BLOCK),
+        (h0 / box).reshape(nb, blk.BLOCK), 1.0, box,
+        kernel="wc6", desnngb=DESNNGB, n_sweeps=8, interpret=True,
+        sb_mode=True)
+    assert np.isfinite(np.asarray(rho)).all()
+    assert np.isfinite(np.asarray(delta)).all()
+    # truncated rows see fewer sources -> finite, possibly unconverged,
+    # but never garbage (all sums from real blocks)
+    assert (np.asarray(rho).reshape(-1)[np.asarray(bi.valid)] >= 0).all()

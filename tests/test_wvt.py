@@ -70,3 +70,45 @@ def test_density_tracks_model(relaxed):
         / np.asarray(rho_model)
     # after 12 iterations at this resolution the bulk should be within ~15%
     assert np.median(err) < 0.15
+
+
+def test_rebuild_every_equivalence(monkeypatch):
+    """Structure reuse (REBUILD_EVERY=8) with the enforced drift budget
+    must track the rebuild-every-iteration reference behavior
+    (wvt_relax.c:6) to float32 pair-sum noise — a regression here means
+    displacement pairs are being truncated between rebuilds."""
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=8000, wvt_max_iter=9, sph_kernel="m4")
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+
+    def run(rebuild_every):
+        monkeypatch.setattr(wvt, "REBUILD_EVERY", rebuild_every)
+        key = jax.random.PRNGKey(11)
+        parts = pos_mod.make_positions(key, scene, ha)
+        parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+        errs = []
+
+        def log(stage, **kw):
+            if stage == "wvt":
+                errs.append(kw["err_mean"])
+
+        parts = wvt.regularise_sph_particles(scene, ha, parts, log=log)
+        n_gas = parts.n_gas
+        order = np.argsort(np.asarray(parts.pid[:n_gas]))
+        return (np.asarray(parts.pos[:n_gas])[order],
+                np.asarray(parts.rho)[order], errs)
+
+    pos8, rho8, errs8 = run(8)
+    pos1, rho1, errs1 = run(1)
+
+    # error trajectories must agree closely (same physics, different
+    # summation orders)
+    assert len(errs8) == len(errs1)
+    np.testing.assert_allclose(errs8, errs1, rtol=2e-2)
+    # pid-matched final state: float32 pair-sum noise only
+    box = scene.boxsize
+    d = np.abs(pos8 - pos1)
+    d = np.minimum(d, box - d)   # periodic metric
+    assert d.max() < 2e-3 * box
+    np.testing.assert_allclose(rho8, rho1, rtol=2e-2)

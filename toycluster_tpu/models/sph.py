@@ -418,14 +418,14 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
                 # the solve) prune the non-hit member blocks in-kernel
                 from ..ops.pallas_pair import stream_skip_bits
                 ids_all = jnp.arange(nb, dtype=jnp.int32)
-                bits = stream_skip_bits(
+                bits, safe = stream_skip_bits(
                     bi.bb_lo, bi.bb_hi, None, ids_all, state.cand.idx,
                     cap_b, None, float(boxsize), sb=True)
                 rho, h, vf, wk, done, _ = stream_wvt_pallas(
                     src_blocks, state.cand.idx, state.cand.count, pos_t,
                     h0_b, cap_b, h0_b, float(mpart), float(boxsize),
                     kernel=cfg.sph_kernel, desnngb=desnngb,
-                    do_disp=False, sb_mode=True, bits=bits)
+                    do_disp=False, sb_mode=True, bits=bits, safe=safe)
                 sat = (~done) | (h >= cap_b * 0.999)
                 return [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
                         wk.reshape(-1), done.reshape(-1),

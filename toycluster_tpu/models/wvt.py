@@ -37,6 +37,13 @@ import os as _os
 REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 8))
 _SYM_MARGIN = 1.1       # displacement-radius slack for inter-build drift
 _FAC_MAX = 2.0          # cap-ratchet ceiling (see fac_gas note below)
+# enforced inter-build drift budget: a pair's separation changes by at
+# most 2*step*dmax_rel in units of the pair range 0.5*(hm_i+hm_j), so
+# the accumulated sum must stay below the _SYM_MARGIN slack (0.1), with
+# headroom left for the per-iteration hm drift the margin also covers.
+# Median drift (~2*0.1*0.0085/it) never trips this; the 0.1-0.4 h
+# outliers the round-1 profile measured do — exactly the unguarded case.
+_DRIFT_BUDGET = 0.04
 
 
 @jax.jit
@@ -149,14 +156,14 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
         for s0 in range(0, nb, _SLAB):
             s1 = min(s0 + _SLAB, nb)
             ids = jnp.arange(s0, s1, dtype=jnp.int32)
-            bits = stream_skip_bits(
+            bits, safe = stream_skip_bits(
                 bb_lo, bb_hi, bhm, ids, cand_idx[s0:s1], cap_b[s0:s1],
                 hm_b[s0:s1], float(boxsize), sb=True)
             rho_s, h_s2, vf_s, _wk, done_s, delta_s = stream_wvt_pallas(
                 src, cand_idx[s0:s1], cnt_all[s0:s1], src[s0:s1, :3, :],
                 h0_b[s0:s1], cap_b[s0:s1], hm_b[s0:s1], float(mpart),
                 float(boxsize), kernel=kernel, desnngb=desnngb,
-                sb_mode=True, bits=bits)
+                sb_mode=True, bits=bits, safe=safe)
             for o, r in zip(outs, (rho_s, h_s2, vf_s, done_s, delta_s)):
                 o.append(r)
         rho, hsml, vf, done, delta = (jnp.concatenate(o) for o in outs)
@@ -240,13 +247,14 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             bb_hi = pos_b.max(axis=1)
             bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
 
-            bits = stream_skip_bits(
+            bits, safe = stream_skip_bits(
                 bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
                 cand_idx, cap_b, hm_b, float(boxsize), sb=True)
             rho, h, vf, wk, done, delta = stream_wvt_pallas(
                 src_blocks, cand_idx, cnt_all, pos_t, h0_b, cap_b, hm_b,
                 float(mpart), float(boxsize),
-                kernel=kernel, desnngb=desnngb, sb_mode=True, bits=bits)
+                kernel=kernel, desnngb=desnngb, sb_mode=True, bits=bits,
+                safe=safe)
             outs = [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
                     wk.reshape(-1), done.reshape(-1).astype(jnp.float32),
                     delta.reshape(-1, 3)]
@@ -396,6 +404,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
 
     state = None
     its_since_build = 0
+    drift_acc = 0.0
     iter_fn = None
     class_ids = None
     engine = sph_mod._engine()
@@ -416,6 +425,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         # and walks it twice, wvt_relax.c:66-171); the structure is
         # reused across REBUILD_EVERY iterations
         if its_since_build >= REBUILD_EVERY or (
+                drift_acc > _DRIFT_BUDGET) or (
                 state is not None and state.tail is not None):
             state = None
 
@@ -476,6 +486,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                     cfg.sph_kernel, cool_core, engine,
                     tail_shape=tail_shape)
                 its_since_build = 0
+                drift_acc = 0.0
                 log("wvt_build", it=it, attempt=attempt,
                     max_cand=state.max_cand, classes=class_shape,
                     tail=tail_shape,
@@ -501,6 +512,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 fac_gas = jnp.where(
                     hsml >= state.h_cap[:n_gas] * 0.999,
                     jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
+                # the accepted lanes carry a capped/unconverged h this
+                # iteration (ADVICE r1): record the contract deviation
+                # so flagship artifacts can report it
+                log("wvt_accept", it=it, n_accept=n_sat)
                 break
             # saturation: the build-time search radius no longer covers
             # the needed h — rebuild, growing the cap ONLY for the
@@ -543,6 +558,9 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         err_diff_last = err_diff
 
         pos_gas = _move(pos_gas, delta_box * step, boxsize)
+        # accumulate the applied drift against the rebuild budget (both
+        # pair endpoints move, hence the factor 2)
+        drift_acc += 2.0 * float(dmax_rel_d) * step
         del delta_box
 
         if checkpoint_path and (it + 1) % checkpoint_every == 0:

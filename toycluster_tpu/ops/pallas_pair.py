@@ -566,7 +566,7 @@ def fused_wvt_pallas(pos_blocks, hm_blocks, cand, cnt, xi, h0, cap, hm_i,
     cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
         nchunk, sc, M)
     cnt_c = jnp.concatenate(
-        [cnt.astype(jnp.int32),
+        [jnp.minimum(cnt.astype(jnp.int32), M),  # width-truncated lists
          jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
     gq_c = _pad_rows(gq, s_pad).reshape(nchunk, sc, m_blocks)
     hq_c = jnp.concatenate(
@@ -930,6 +930,12 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     computation too slow to rerun every iteration) pick a margin covering
     the worst-case position/hm drift until the next rebuild, and enforce
     it with an accumulated-drift rebuild trigger.
+
+    Returns (bits, safe): `safe` is a (S,) int32 flag, 1 where the
+    receiver block's half-extent plus its maximum pair range stays below
+    ~box/2 on every axis — the validity condition of the stream kernel's
+    hoisted periodic wrap (sources wrapped once against the row centre).
+    Rows with safe=0 fall back to per-pair min-image wrapping in-kernel.
     """
     S, Mb = block_rows.shape
     nb_blocks = bb_lo.shape[0]
@@ -945,6 +951,17 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
                       float(2 ** 30)).astype(jnp.int32) + 1)
     hmi = (hm_rows.max(axis=1) if bhm is not None
            else jnp.zeros((S,), jnp.float32))
+
+    # hoisted-wrap validity (see stream_wvt_pallas): receiver half-extent
+    # + max pair range must stay below box/2 on every axis
+    r_pair = cap_rows.max(axis=1) * mf
+    if bhm is not None:
+        r_pair = jnp.maximum(
+            r_pair, 0.5 * (hmi + bhm.max()) * float(boxsize) * mf)
+    half_ext = 0.5 * (bb_hi[jnp.minimum(idc, nb_blocks - 1)]
+                      - bb_lo[jnp.minimum(idc, nb_blocks - 1)])
+    safe = jnp.all(half_ext + r_pair[:, None] < 0.49 * float(boxsize),
+                   axis=1).astype(jnp.int32)
 
     # bound the per-chunk gather/arithmetic temporaries at wide lists
     chunk = min(_BITS_CHUNK, S, max(32, (8 << 20) // max(Mb, 1)))
@@ -1002,7 +1019,7 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
         pad(block_rows, -1).reshape(nchunk, chunk, Mb),
         pad(hq).reshape(nchunk, chunk),
         pad(hmi).reshape(nchunk, chunk)))
-    return bits.reshape(s_pad, -1)[:S]
+    return bits.reshape(s_pad, -1)[:S], safe
 
 
 def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
@@ -1010,7 +1027,8 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                    cand_ref,                 # (S, M) scalar prefetch
                    cnt_ref,                  # (S,)
                    bits_ref,                 # (S, ceil(Mb/16)) packed skip
-                   cen_ref,                  # (S, 3) quantized row centre
+                   cen_ref,                  # (S, 4) quantized row centre
+                   #                           + hoisted-wrap safe flag
                    *rest):
     # rest: 6 receiver columns (1,B,1) [x0,x1,x2,h0,cap,hm_i],
     #       src_ref (nb, 4, B) in ANY (rows 0-2 coords, row 3 source hm),
@@ -1062,6 +1080,9 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         inv_box = 1.0 / boxsize
         qinv = boxsize / float(2 ** 22)
         xref = [cen_ref[s, d].astype(f32) * qinv for d in range(3)]
+        # hoisted-wrap validity flag (stream_skip_bits): rows whose
+        # half-extent + max pair range could reach box/2 re-wrap per pair
+        safe = cen_ref[s, 3] > 0
 
         def issue(g):
             if sb_nb:
@@ -1070,9 +1091,13 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 for f in range(_FAN):
                     copy_of(g, f).start()
 
-        def stream_pass(tile_fn, keep_bit):
+        def stream_pass(tile_fn, keep_bit, wrap):
             """fori over candidate groups: double-buffered DMA, per-block
-            skip via the packed bits (keep_bit 0: density, 1: disp)."""
+            skip via the packed bits (keep_bit 0: density, 1: disp,
+            2: union — the fused sweep-0 pass streams a block if EITHER
+            consumer needs it; the tile gates each part on its own bit).
+            `wrap` (python bool): re-wrap pair separations per pair —
+            the fallback for rows where the hoisted wrap could alias."""
             issue(0)
 
             def body(g, carry):
@@ -1086,37 +1111,56 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     if not sb_nb:
                         copy_of(g, f).wait()
                     b2 = bits(g, f)
-                    cond = ((b2 & 1) == 0) if keep_bit == 0 \
-                        else ((b2 & 2) == 2)
+                    if keep_bit == 0:
+                        cond = (b2 & 1) == 0
+                    elif keep_bit == 1:
+                        cond = (b2 & 2) == 2
+                    else:
+                        cond = ((b2 & 1) == 0) | ((b2 & 2) == 2)
                     @pl.when(cond)
-                    def _(f=f, slot=slot):
+                    def _(f=f, slot=slot, b2=b2):
                         row = (slot * _FAN + f) * 4
                         # hoist the periodic min-image wrap out of the
                         # (B,B) tile: wrap the source ROW once against
-                        # the row's reference point.  Valid because any
-                        # in-range pair is << box/2 from the receiver
-                        # block, and far sources can only come out
-                        # FARTHER than their min-image distance (never
+                        # the row's centre.  Valid when half-extent +
+                        # pair range < box/2 (checked per row by
+                        # stream_skip_bits): any in-range pair then
+                        # lands at its true min-image separation, and
+                        # far sources can only come out FARTHER (never
                         # aliased into kernel support).
                         xd = [csc[pl.ds(row + d, 1), :] for d in range(3)]
                         xd = [x - boxsize * jnp.round(
                             (x - xref[d]) * inv_box)
                             for d, x in enumerate(xd)]
                         hj = csc[pl.ds(row + 3, 1), :]
-                        tile_fn(xd, hj)
+                        tile_fn(xd, hj, wrap, b2)
                 return carry
 
             jax.lax.fori_loop(0, n_grp, body, 0)
+
+        def branch_pass(tile_fn, keep_bit):
+            """Row-level branch on the hoisted-wrap validity: the safe
+            variant (no per-pair wrap) runs for ~all rows; oversized
+            sparse-outskirt rows pay the per-pair min-image re-wrap."""
+            @pl.when(safe)
+            def _():
+                stream_pass(tile_fn, keep_bit, False)
+
+            @pl.when(jnp.logical_not(safe))
+            def _():
+                stream_pass(tile_fn, keep_bit, True)
 
         # ---------------- density solve ----------------
         def pair_sums(h):
             inv_h2 = 1.0 / (h * h)
             acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
 
-            def tile(xd, hj):
+            def tile(xd, hj, wrap):
                 r2 = jnp.zeros((BLOCK, BLOCK), f32)
                 for d in range(3):
                     dd = xi[d] - xd[d]       # sources pre-wrapped
+                    if wrap:
+                        dd = dd - boxsize * jnp.round(dd * inv_box)
                     r2 += dd * dd
                 vj = (hj > 0).astype(f32)
                 if kernel_kind == "m4":
@@ -1138,7 +1182,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     acc_ref[:, 1:2] += (t7 * dpoly).sum(
                         axis=1, keepdims=True)
 
-            stream_pass(tile, 0)
+            branch_pass(tile, 0)
             return acc_ref[:, 0:1], acc_ref[:, 1:2]
 
         def norm_sums(h, raw_w, raw_rdw):
@@ -1195,11 +1239,14 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         if do_disp:
             acc_ref[:, 2:5] = jnp.zeros((BLOCK, 3), f32)
 
-            def dtile(xd, hj):
+            def dtile(xd, hj, wrap):
                 dx = []
                 r2 = jnp.zeros((BLOCK, BLOCK), f32)
                 for d in range(3):
-                    dd = (xi[d] - xd[d]) * inv_box  # pre-wrapped
+                    dd = xi[d] - xd[d]              # pre-wrapped
+                    if wrap:
+                        dd = dd - boxsize * jnp.round(dd * inv_box)
+                    dd = dd * inv_box
                     dx.append(dd)
                     r2 += dd * dd
                 hbar = 0.5 * (hm_i + hj)
@@ -1221,7 +1268,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     acc_ref[:, 2 + d:3 + d] += (coef * dx[d]).sum(
                         axis=1, keepdims=True)
 
-            stream_pass(dtile, 1)
+            branch_pass(dtile, 1)
             dnorm = hm_i * (1.0 if kernel_kind == "m4"
                             else 1365.0 / (64.0 * const.PI))
             delta = tuple(dnorm * acc_ref[:, 2 + d:3 + d]
@@ -1247,7 +1294,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
                       mpart, boxsize, gdist=None, dkeep=None, *,
                       kernel="wc6", desnngb=295, n_sweeps=16,
                       interpret=False, sb_mode=False, do_disp=True,
-                      bits=None):
+                      bits=None, safe=None):
     """v3 dynamic-streaming density solve + WVT displacement.
 
     src_blocks: (nb, 4, B) sorted sources — rows 0-2 coords (world), row
@@ -1259,6 +1306,12 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
     (computed fresh per iteration by the callers; prune exact zeros).
     Returns (rho, hsml, var_fac, wk_ngb, done, delta) like
     fused_wvt_pallas.
+
+    `safe` (S,) int32 (from stream_skip_bits) marks rows where the
+    hoisted periodic wrap is valid; None computes it here.  Candidate
+    counts are clamped to the list width in all modes, so callers whose
+    counts reflect pre-truncation hits (the _SB_WIDTH_CAP nearest-
+    superblock truncation) are safe by construction.
     """
     S, M = cand.shape
     nb = src_blocks.shape[0]
@@ -1292,10 +1345,20 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
             gdist = jnp.zeros((S, m_blocks), f32)
         if dkeep is None:
             dkeep = jnp.ones((S, m_blocks), bool)
+        # the v3 kernel has no in-kernel candidate-validity mask — the
+        # bits carry it: padded (-1) entries and past-nb superblock
+        # members MUST be skipped or block 0 is double-counted
+        if sb_mode:
+            e = (jnp.maximum(cand, 0)[:, :, None] * _FAN
+                 + jnp.arange(_FAN, dtype=jnp.int32))
+            validb = ((cand >= 0)[:, :, None] & (e < nb)).reshape(
+                S, m_blocks)
+        else:
+            validb = cand >= 0
         dq = jnp.minimum(gdist * qscale,
                          float(2 ** 30)).astype(jnp.int32)
-        b2 = ((dq > hq[:, None]).astype(jnp.int32)
-              | (dkeep.astype(jnp.int32) << 1))
+        b2 = (((dq > hq[:, None]) | ~validb).astype(jnp.int32)
+              | ((dkeep & validb).astype(jnp.int32) << 1))
         b2 = b2.reshape(S, nw, 16)
         shifts = jnp.arange(16, dtype=jnp.int32) * 2
         bits = (b2 << shifts).sum(axis=2).astype(jnp.int32)
@@ -1321,16 +1384,33 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
     s_pad = nchunk * sc
     cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
         nchunk, sc, M)
+    # clamp counts to the list width: rows truncated at build time
+    # (_SB_WIDTH_CAP nearest-superblock lists) report their TRUE hit
+    # count — without the clamp the group loop would index past the
+    # prefetched row (garbage DMAs / misaligned skip bits)
     cnt_c = jnp.concatenate(
-        [cnt.astype(jnp.int32),
+        [jnp.minimum(cnt.astype(jnp.int32), M),
          jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
     bits_c = _pad_rows(bits, s_pad).reshape(nchunk, sc, nw)
-    # per-row reference point for the in-kernel wrap hoisting: any point
-    # inside/near the receiver block works — use lane 0, crudely
-    # quantized (the reference only needs to be well within box/2)
-    cen = (xi[:, :, 0] * (float(2 ** 22) / float(boxsize))
-           ).astype(jnp.int32)
-    cen_c = _pad_rows(cen, s_pad).reshape(nchunk, sc, 3)
+    # per-row reference point for the in-kernel wrap hoisting (the row
+    # bbox centre, crudely quantized — it only needs to be well inside
+    # box/2 of every in-range pair) + the hoisted-wrap validity flag
+    qs = float(2 ** 22) / float(boxsize)
+    xlo = xi.min(axis=2)
+    xhi = xi.max(axis=2)
+    if safe is None:
+        r_pair = cap.max(axis=1)
+        if do_disp:
+            r_pair = jnp.maximum(
+                r_pair, 0.5 * (hm_i.max(axis=1)
+                               + src_blocks[:, 3, :].max())
+                * float(boxsize))
+        safe = jnp.all(0.5 * (xhi - xlo) + r_pair[:, None]
+                       < 0.49 * float(boxsize), axis=1)
+    cen = jnp.concatenate(
+        [(0.5 * (xlo + xhi) * qs).astype(jnp.int32),
+         safe.astype(jnp.int32)[:, None]], axis=1)
+    cen_c = _pad_rows(cen, s_pad).reshape(nchunk, sc, 4)
     recv_c = [_pad_rows(r, s_pad).reshape(nchunk, sc, BLOCK, 1)
               for r in recvs]
 
