@@ -99,10 +99,12 @@ def main():
     bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
     ids = jnp.arange(nb, dtype=jnp.int32)
 
+    bk = state.buckets or (None, None)
     bits, safe = timed(
-        "skip_bits (packed, chunked)", lambda: stream_skip_bits(
+        "skip_bits (bucketed)", lambda: stream_skip_bits(
             bi.bb_lo, bi.bb_hi, bhm, ids, state.cand.idx, cap_b, hm_b,
-            float(boxsize), sb=True))
+            float(boxsize), sb=True, bucket_ids=bk[0],
+            bucket_widths=bk[1]))
 
     kw = dict(kernel=cfg.sph_kernel, desnngb=desnngb, sb_mode=True,
               bits=bits, safe=safe)

@@ -457,3 +457,68 @@ def test_stream_count_clamp_overflowed_lists():
     # truncated rows see fewer sources -> finite, possibly unconverged,
     # but never garbage (all sums from real blocks)
     assert (np.asarray(rho).reshape(-1)[np.asarray(bi.valid)] >= 0).all()
+
+
+def test_skip_bits_prune_exact_zeros(setup):
+    """The stream_skip_bits gates (per-block density skip / disp keep)
+    prune exact-zero contributions ONLY: results must be bit-identical
+    to the ungated inline path."""
+    from toycluster_tpu.ops.pallas_pair import (stream_skip_bits,
+                                                stream_wvt_pallas)
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    h_box = h0s / BOX
+    hm_sorted = jnp.where(bi.valid, h_box, 0.0)
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    src = jnp.concatenate(
+        [pos_t, hm_sorted.reshape(nb, 1, blk.BLOCK)], axis=1)
+    h0_b = h0s.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    hm_b = h_box.reshape(nb, blk.BLOCK)
+
+    radius = cap_b.max(axis=1)
+    rec = jnp.arange(nb, dtype=jnp.int32)
+    cand_sb = blk.find_candidates_super(
+        bi, rec, radius, hm_b.max(axis=1) * BOX, BOX,
+        max_cand=max(4, bi.sb_lo.shape[0]))
+    assert int(cand_sb.overflow) <= 0
+
+    kw = dict(kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+              interpret=True, sb_mode=True)
+    base = stream_wvt_pallas(src, cand_sb.idx, cand_sb.count, pos_t,
+                             h0_b, cap_b, hm_b, 1.0, BOX, **kw)
+
+    bhm = hm_sorted.reshape(nb, blk.BLOCK).max(axis=1)
+    bits, safe = stream_skip_bits(
+        bi.bb_lo, bi.bb_hi, bhm, rec, cand_sb.idx, cap_b, hm_b,
+        float(BOX), sb=True)
+    import numpy as _np
+    frac = _np.mean([(int(w) >> (2 * k)) & 1
+                     for w in _np.asarray(bits).reshape(-1)
+                     for k in range(16)])
+    gated = stream_wvt_pallas(src, cand_sb.idx, cand_sb.count, pos_t,
+                              h0_b, cap_b, hm_b, 1.0, BOX, **kw,
+                              bits=bits, safe=safe)
+    for a, b in zip(base, gated):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert frac > 0.0  # the gates must actually prune something
+
+    # count-bucketed skip-bits path: same results again
+    counts = np.asarray(cand_sb.count)
+    w_split = max(2, int(np.median(counts)))
+    lo_ids = np.where(counts <= w_split)[0].astype(np.int32)
+    hi_ids = np.where(counts > w_split)[0].astype(np.int32)
+    b_ids = tuple(jnp.asarray(np.concatenate([ids, [-1]]).astype(
+        np.int32)) for ids in (lo_ids, hi_ids) if len(ids))
+    b_w = tuple(w for ids, w in ((lo_ids, w_split),
+                                 (hi_ids, cand_sb.idx.shape[1]))
+                if len(ids))
+    bits_b, safe_b = stream_skip_bits(
+        bi.bb_lo, bi.bb_hi, bhm, rec, cand_sb.idx, cap_b, hm_b,
+        float(BOX), sb=True, bucket_ids=b_ids, bucket_widths=b_w)
+    bucketed = stream_wvt_pallas(src, cand_sb.idx, cand_sb.count, pos_t,
+                                 h0_b, cap_b, hm_b, 1.0, BOX, **kw,
+                                 bits=bits_b, safe=safe_b)
+    for a, b in zip(base, bucketed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -45,7 +45,16 @@ def _engine() -> str:
     return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
 
-def global_density_model(pos_box, ha: HaloArrays, boxsize, cool_core=None):
+def uniform_beta(scene) -> float | None:
+    """The single beta shared by every gas-bearing halo, or None.
+    Passed as a STATIC exponent into the per-iteration model-density
+    evaluation (beta=2/3 closed form skips the per-particle pow)."""
+    betas = {float(h.beta) for h in scene.halos if h.mass_gas > 0}
+    return betas.pop() if len(betas) == 1 else None
+
+
+def global_density_model(pos_box, ha: HaloArrays, boxsize, cool_core=None,
+                         beta=None):
     """max over gas-bearing halos of the beta-model density at a box
     position (wvt_relax.c:227-256).
 
@@ -56,7 +65,7 @@ def global_density_model(pos_box, ha: HaloArrays, boxsize, cool_core=None):
 
     def body(j, rho):
         r = jnp.linalg.norm(pos_box - (ha.d_com[j] + boxhalf), axis=-1)
-        rho_j = gas_density_device(r, ha, j, cool_core)
+        rho_j = gas_density_device(r, ha, j, cool_core, beta=beta)
         rho_j = jnp.where(ha.mass_gas[j] > 0, rho_j, 0.0)
         return jnp.maximum(rho, rho_j).astype(rho.dtype)
 
@@ -68,10 +77,12 @@ def global_density_model(pos_box, ha: HaloArrays, boxsize, cool_core=None):
         jnp.zeros_like(pos_box[..., 0]).astype(jnp.float32))
 
 
-def model_hsml(pos_box, ha, mpart, desnngb, boxsize, cool_core=None):
+def model_hsml(pos_box, ha, mpart, desnngb, boxsize, cool_core=None,
+               beta=None):
     """h0 = (DESNNGB m / rho_model / (4pi/3))^(1/3) — the WVT metric form
     (wvt_relax.c:115) reused as the density-solve warm start."""
-    rho = global_density_model(pos_box, ha, boxsize, cool_core)
+    rho = global_density_model(pos_box, ha, boxsize, cool_core,
+                               beta=beta)
     return (desnngb * mpart / rho / const.FOURPITHIRD) ** (1.0 / 3.0)
 
 
@@ -110,6 +121,11 @@ class NeighbourState(NamedTuple):
     tail: Optional[tuple] = None
     sb: bool = False       # cand.idx holds SUPERBLOCK ids (pallas
     #                        engine: one group DMA per entry; no tail)
+    buckets: Optional[tuple] = None  # (ids_tuple, widths_tuple):
+    #                        count buckets for the per-iteration skip-
+    #                        bits pass (rows run at their bucket width,
+    #                        not the padded list width — the bbox
+    #                        gather scales with processed width)
 
 
 def _pad_sorted(x, order, n_padded, fill_last=True):
@@ -124,6 +140,7 @@ def _pad_sorted(x, order, n_padded, fill_last=True):
 # last successful candidate-list width per mode: reusing it across calls
 # keeps the jit shapes stable (avoids recompile flip-flop in the WVT loop)
 _LAST_MAX_CAND: dict = {}
+_BUCKET_MEMO: dict = {}  # nb -> skip-bits bucket widths ever emitted
 
 
 def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
@@ -165,8 +182,36 @@ def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
     w_q = max(64, 1 << (w_need - 1).bit_length())
     if w_q < cand.idx.shape[1]:
         cand = cand._replace(idx=cand.idx[:, :w_q])
+    # count buckets for the skip-bits pass: p50 counts sit ~10x below
+    # the padded width, and the pass's bbox gather scales with the
+    # width each row is processed at.  Sticky-quantized sizes keep the
+    # per-iteration jit shapes stable across rebuilds.
+    counts = np.asarray(cand.count)
+    width_full = cand.idx.shape[1]
+    b_ids, b_widths = [], []
+    prev = 0
+    w = 64
+    seen = _BUCKET_MEMO.setdefault(len(counts), set())
+    while prev < width_full:
+        w_eff = min(w, width_full)
+        sel = np.where((np.minimum(counts, width_full) > prev)
+                       & (np.minimum(counts, width_full) <= w_eff))[0]
+        # sticky presence: once a width bucket exists for this nb, keep
+        # emitting it even when it (temporarily) empties — a vanishing
+        # bucket would change the iteration program's shape signature
+        if len(sel) or w_eff in seen:
+            seen.add(w_eff)
+            padded = np.full(
+                _quantize_size(len(sel), len(counts), -w_eff), -1,
+                np.int32)
+            padded[:len(sel)] = sel
+            b_ids.append(jnp.asarray(padded))
+            b_widths.append(w_eff)
+        prev = w_eff
+        w *= 2
     return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
-                          max_cand=cand.idx.shape[1], tail=None, sb=True)
+                          max_cand=cand.idx.shape[1], tail=None, sb=True,
+                          buckets=(tuple(b_ids), tuple(b_widths)))
 
 
 def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,
@@ -418,9 +463,11 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
                 # the solve) prune the non-hit member blocks in-kernel
                 from ..ops.pallas_pair import stream_skip_bits
                 ids_all = jnp.arange(nb, dtype=jnp.int32)
+                bk = state.buckets or (None, None)
                 bits, safe = stream_skip_bits(
                     bi.bb_lo, bi.bb_hi, None, ids_all, state.cand.idx,
-                    cap_b, None, float(boxsize), sb=True)
+                    cap_b, None, float(boxsize), sb=True,
+                    bucket_ids=bk[0], bucket_widths=bk[1])
                 rho, h, vf, wk, done, _ = stream_wvt_pallas(
                     src_blocks, state.cand.idx, state.cand.count, pos_t,
                     h0_b, cap_b, h0_b, float(mpart), float(boxsize),
@@ -462,6 +509,15 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
         raise RuntimeError(f"hsml solve saturated for {n_sat} particles "
                            f"after {_MAX_REBUILDS} rebuilds")
 
+    # the neighbour contract (sph.c:159-166): fraction of gas lanes at
+    # |wkNgb - DESNNGB| < NNGBDEV.  Recorded so callers (bench.py, the
+    # flagship runners) can turn a contract regression red instead of
+    # silently recording it in an artifact JSON.
+    contract_ok = jnp.abs(res.wk_ngb - desnngb) < const.NNGBDEV
+    global last_contract_frac
+    last_contract_frac = float(
+        jnp.where(bi.valid, contract_ok, False).sum()) / n_gas
+
     parts = permute_gas(parts, bi.order)
     parts = parts._replace(
         rho=res.rho[:n_gas], hsml=res.hsml[:n_gas],
@@ -474,3 +530,8 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
     state = state._replace(index=bi._replace(
         order=jnp.arange(n_gas, dtype=bi.order.dtype)))
     return parts, state
+
+
+# contract fraction of the most recent find_sph_quantities call (module
+# scalar, not a Particles field: the pytree must stay trace-stable)
+last_contract_frac: float = float("nan")

@@ -55,9 +55,19 @@ def _error_stats(rho_sph, rho_model):
 def _metric_hsml(rho_model, mpart, desnngb):
     """h_i = (NNGB m / rho / (4pi/3))^(1/3), renormalised so the total
     kernel volume matches the unit box (wvt_relax.c:108-124)."""
-    h = (desnngb * mpart / rho_model / const.FOURPITHIRD) ** (1.0 / 3.0)
-    v_sum = (h ** 3).sum()
-    return h * (desnngb / v_sum / const.FOURPITHIRD) ** (1.0 / 3.0)
+    return _model_fields_from_rho(rho_model, mpart, desnngb)[2]
+
+
+def _model_fields_from_rho(rho_model, mpart, desnngb):
+    """(rho_model, h0_model, h_box) with ONE cube root per particle:
+    h0_model is the unrenormalised metric base, h_box the box-volume
+    renormalised metric (wvt_relax.c:108-124); the kernel-volume sum is
+    taken over the base (no cube of a cube root)."""
+    base = desnngb * mpart / rho_model / const.FOURPITHIRD
+    h0_model = base ** (1.0 / 3.0)
+    h_box = h0_model * (desnngb / base.sum()
+                        / const.FOURPITHIRD) ** (1.0 / 3.0)
+    return rho_model, h0_model, h_box
 
 
 @jax.jit
@@ -84,7 +94,7 @@ _LARGE_N = 8_000_000  # above this the iteration runs as jitted
 
 
 def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
-                        kernel, cool_core):
+                        kernel, cool_core, beta=None):
     """Large-N WVT iteration: same signature/results as the mega-jit
     iter_fn, but the stream kernel runs per receiver-row slab as its own
     dispatch so peak HBM scales with the slab, not the particle count.
@@ -98,11 +108,10 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
 
     @jax.jit
     def prologue(pos_gas, h_prev, ha, n_gas_d):
-        rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
-                                                 cool_core)
-        h_box = _metric_hsml(rho_model, mpart, desnngb)
-        h0_model = (desnngb * mpart / rho_model
-                    / const.FOURPITHIRD) ** (1.0 / 3.0)
+        rho_model, h0_model, h_box = _model_fields_from_rho(
+            sph_mod.global_density_model(pos_gas, ha, boxsize,
+                                         cool_core, beta=beta),
+            mpart, desnngb)
         h0 = jnp.where(h_prev > 0, h_prev, h0_model)
 
         def pad1(x):
@@ -177,18 +186,18 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
 
 
 def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
-                 kernel, cool_core, engine, tail_shape=None):
+                 kernel, cool_core, engine, tail_shape=None, beta=None):
     from ..ops import blocks as blk
     from ..ops import pair_ops
 
     key = (class_shape, n_gas, n_padded, mpart, boxsize, desnngb, kernel,
-           cool_core, engine, tail_shape)
+           cool_core, engine, tail_shape, beta)
     if key in _ITER_FN_CACHE:
         return _ITER_FN_CACHE[key]
 
     if engine == "pallas" and n_gas > _LARGE_N:
         fn = _make_large_iter_fn(n_gas, n_padded, mpart, boxsize,
-                                 desnngb, kernel, cool_core)
+                                 desnngb, kernel, cool_core, beta=beta)
         _ITER_FN_CACHE[key] = fn
         return fn
 
@@ -201,11 +210,10 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
         # n_gas_d: DYNAMIC scalar — a static bound would constant-fold
         # the (n_padded,) iota comparison in the XLA compiler (minutes
         # at 1e7; see positions._census_counts)
-        rho_model = sph_mod.global_density_model(pos_gas, ha, boxsize,
-                                                 cool_core)
-        h_box = _metric_hsml(rho_model, mpart, desnngb)
-        h0_model = (desnngb * mpart / rho_model
-                    / const.FOURPITHIRD) ** (1.0 / 3.0)
+        rho_model, h0_model, h_box = _model_fields_from_rho(
+            sph_mod.global_density_model(pos_gas, ha, boxsize,
+                                         cool_core, beta=beta),
+            mpart, desnngb)
         h0 = jnp.where(h_prev > 0, h_prev, h0_model)
 
         def pad1(x):
@@ -247,9 +255,13 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             bb_hi = pos_b.max(axis=1)
             bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
 
+            bucket_widths = (tuple(w for _, w in class_shape[1:])
+                             if class_shape else None)
             bits, safe = stream_skip_bits(
                 bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
-                cand_idx, cap_b, hm_b, float(boxsize), sb=True)
+                cand_idx, cap_b, hm_b, float(boxsize), sb=True,
+                bucket_ids=(tuple(class_ids) if class_shape else None),
+                bucket_widths=bucket_widths)
             rho, h, vf, wk, done, delta = stream_wvt_pallas(
                 src_blocks, cand_idx, cnt_all, pos_t, h0_b, cap_b, hm_b,
                 float(mpart), float(boxsize),
@@ -366,6 +378,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     desnngb = cfg.desnngb
     cool_core = ((cfg.rho0_fac, cfg.rc_fac)
                  if cfg.double_beta_cool_cores else None)
+    beta_u = sph_mod.uniform_beta(scene)
 
     # step size (wvt_relax.c:48-56)
     if cfg.sph_kernel == "m4":
@@ -433,11 +446,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         #                    grown cap, so windows stay tight
         for attempt in range(sph_mod._MAX_REBUILDS + 1):
             if state is None:
-                rho_model = sph_mod.global_density_model(
-                    pos_gas, ha, boxsize, cool_core)
-                h_box = _metric_hsml(rho_model, mpart, desnngb)
-                h0_model = (desnngb * mpart / rho_model
-                            / const.FOURPITHIRD) ** (1.0 / 3.0)
+                rho_model, h0_model, h_box = _model_fields_from_rho(
+                    sph_mod.global_density_model(
+                        pos_gas, ha, boxsize, cool_core, beta=beta_u),
+                    mpart, desnngb)
                 h0 = jnp.where(h_prev > 0, h_prev, h0_model)
                 if grow_mask is not None:
                     fac_gas = jnp.where(grow_mask,
@@ -467,11 +479,14 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                                   jnp.float32),
                     order=jnp.zeros((0,), jnp.int32)))
                 if engine == "pallas":
-                    # the stream kernel needs no count classes: one call
-                    # covers all rows — the program shape depends only
-                    # on the candidate width
-                    class_shape = ()
-                    class_ids = ()
+                    # the stream kernel needs no count classes (one call
+                    # covers all rows), but the skip-bits pass runs per
+                    # count BUCKET — the bucket shapes key the program
+                    b_ids, b_widths = state.buckets
+                    class_shape = ("bits",) + tuple(
+                        (ids.shape[0], w)
+                        for ids, w in zip(b_ids, b_widths))
+                    class_ids = b_ids
                 else:
                     sels = sph_mod.classed_selections(state)
                     class_shape = tuple((m, len(ids)) for m, ids in sels)
@@ -484,7 +499,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                     class_shape, n_gas, state.index.n_padded,
                     float(mpart), float(boxsize), desnngb,
                     cfg.sph_kernel, cool_core, engine,
-                    tail_shape=tail_shape)
+                    tail_shape=tail_shape, beta=beta_u)
                 its_since_build = 0
                 drift_acc = 0.0
                 log("wvt_build", it=it, attempt=attempt,

@@ -903,9 +903,11 @@ _SLOTS = 2  # DMA double buffer
 _BITS_CHUNK = 1024  # rows per chunk in stream_skip_bits (bounds temps)
 
 
-@partial(jax.jit, static_argnames=("boxsize", "sb", "margin_frac"))
+@partial(jax.jit, static_argnames=("boxsize", "sb", "margin_frac",
+                                   "bucket_widths"))
 def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
-                     hm_rows, boxsize, sb=False, margin_frac=0.0):
+                     hm_rows, boxsize, sb=False, margin_frac=0.0,
+                     bucket_ids=None, bucket_widths=None):
     """Packed per-candidate-block skip words for the stream kernel.
 
     Two bits per block, 16 blocks per int32 word:
@@ -924,6 +926,13 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     cap_rows: (S, B) world-unit caps; hm_rows: (S, B) receiver hm in box
     units (ignored when bhm is None).  Returns (S, ceil(Mb*/16)) int32
     where Mb* is the (expanded) block count padded to 16.
+
+    bucket_ids / bucket_widths (optional, build-time count bucketing):
+    matched tuples of row-id arrays (-1 padded, sticky-quantized sizes;
+    dynamic) and their static candidate-list widths.  Rows run at their
+    bucket's width instead of the full padded width — the per-candidate
+    bbox gather is the dominant cost and scales with the processed
+    width, while p50 counts sit ~10x below the padded width.
 
     margin_frac inflates both thresholds by (1+margin_frac): callers that
     reuse the bits across several WVT iterations (XLA gathers make this
@@ -963,18 +972,6 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     safe = jnp.all(half_ext + r_pair[:, None] < 0.49 * float(boxsize),
                    axis=1).astype(jnp.int32)
 
-    # bound the per-chunk gather/arithmetic temporaries at wide lists
-    chunk = min(_BITS_CHUNK, S, max(32, (8 << 20) // max(Mb, 1)))
-    nchunk = -(-S // chunk)
-    s_pad = nchunk * chunk
-
-    def pad(x, fill=0):
-        p = s_pad - x.shape[0]
-        if not p:
-            return x
-        return jnp.concatenate(
-            [x, jnp.full((p,) + x.shape[1:], fill, x.dtype)])
-
     # ONE packed gather row per candidate block — three narrow gathers
     # (lo, hi, bhm) cost ~3x as much as one 8-wide row (TPU gathers pay
     # per row, not per byte at this width)
@@ -986,40 +983,74 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
           else jnp.zeros((nb_blocks,), bb_lo.dtype))[:, None],
          jnp.zeros((nb_blocks, 1), bb_lo.dtype)], axis=1)   # (nb, 8)
 
-    def chunk_fn(args):
-        idc_c, rows_c, hq_c, hmi_c = args
-        if sb:
-            e = (jnp.maximum(rows_c, 0)[:, :, None] * _FAN
-                 + jnp.arange(_FAN, dtype=jnp.int32))
-            ok = (rows_c >= 0)[:, :, None] & (e < nb_blocks)
-            rows_c = jnp.where(ok, e, -1).reshape(rows_c.shape[0], -1)
-        rowsc = jnp.maximum(rows_c, 0)
-        pj = packed[rowsc]                      # (C, Mb, 8) one gather
-        pi = packed[idc_c]                      # (C, 8)
-        d = pi[:, None, :3] - pj[:, :, :3]
-        d = d - boxsize * jnp.round(d / boxsize)
-        gap = jnp.maximum(jnp.abs(d) - (pi[:, None, 3:6]
-                                        + pj[:, :, 3:6]), 0.0)
-        gd = jnp.sqrt((gap * gap).sum(-1))
-        dq = jnp.minimum(gd * qscale, float(2 ** 30)).astype(jnp.int32)
-        valid = rows_c >= 0
-        dens_skip = (dq > hq_c[:, None]) | ~valid
-        if bhm is None:
-            dk = jnp.zeros(rows_c.shape, bool)
-        else:
-            dk = (gd <= 0.5 * (hmi_c[:, None] + pj[:, :, 6])
-                  * boxsize * mf) & valid
-        b2 = dens_skip.astype(jnp.int32) | (dk.astype(jnp.int32) << 1)
-        b2 = b2.reshape(b2.shape[0], -1, 16)
-        shifts = jnp.arange(16, dtype=jnp.int32) * 2
-        return (b2 << shifts).sum(axis=2).astype(jnp.int32)
+    def run_rows(idc_b, rows_b, hq_b, hmi_b):
+        """Chunked skip-word computation for one bucket of rows —
+        bounds the (rows, Mb, 3) gather/arithmetic temporaries."""
+        s_rows, m_w = rows_b.shape
+        mbx = m_w * _FAN if sb else m_w
+        chunk = min(_BITS_CHUNK, s_rows,
+                    max(32, (8 << 20) // max(mbx, 1)))
+        nchunk = -(-s_rows // chunk)
+        s_pad = nchunk * chunk
 
-    bits = jax.lax.map(chunk_fn, (
-        pad(idc).reshape(nchunk, chunk),
-        pad(block_rows, -1).reshape(nchunk, chunk, Mb),
-        pad(hq).reshape(nchunk, chunk),
-        pad(hmi).reshape(nchunk, chunk)))
-    return bits.reshape(s_pad, -1)[:S], safe
+        def pad(x, fill=0):
+            p = s_pad - x.shape[0]
+            if not p:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((p,) + x.shape[1:], fill, x.dtype)])
+
+        def chunk_fn(args):
+            idc_c, rows_c, hq_c, hmi_c = args
+            if sb:
+                e = (jnp.maximum(rows_c, 0)[:, :, None] * _FAN
+                     + jnp.arange(_FAN, dtype=jnp.int32))
+                ok = (rows_c >= 0)[:, :, None] & (e < nb_blocks)
+                rows_c = jnp.where(ok, e, -1).reshape(
+                    rows_c.shape[0], -1)
+            rowsc = jnp.maximum(rows_c, 0)
+            pj = packed[rowsc]                  # (C, Mb, 8) one gather
+            pi = packed[idc_c]                  # (C, 8)
+            d = pi[:, None, :3] - pj[:, :, :3]
+            d = d - boxsize * jnp.round(d / boxsize)
+            gap = jnp.maximum(jnp.abs(d) - (pi[:, None, 3:6]
+                                            + pj[:, :, 3:6]), 0.0)
+            gd = jnp.sqrt((gap * gap).sum(-1))
+            dq = jnp.minimum(gd * qscale,
+                             float(2 ** 30)).astype(jnp.int32)
+            valid = rows_c >= 0
+            dens_skip = (dq > hq_c[:, None]) | ~valid
+            if bhm is None:
+                dk = jnp.zeros(rows_c.shape, bool)
+            else:
+                dk = (gd <= 0.5 * (hmi_c[:, None] + pj[:, :, 6])
+                      * boxsize * mf) & valid
+            b2 = (dens_skip.astype(jnp.int32)
+                  | (dk.astype(jnp.int32) << 1))
+            b2 = b2.reshape(b2.shape[0], -1, 16)
+            shifts = jnp.arange(16, dtype=jnp.int32) * 2
+            return (b2 << shifts).sum(axis=2).astype(jnp.int32)
+
+        words = jax.lax.map(chunk_fn, (
+            pad(idc_b).reshape(nchunk, chunk),
+            pad(rows_b, -1).reshape(nchunk, chunk, m_w),
+            pad(hq_b).reshape(nchunk, chunk),
+            pad(hmi_b).reshape(nchunk, chunk)))
+        return words.reshape(s_pad, -1)[:s_rows]
+
+    idc_cl = jnp.minimum(idc, nb_blocks - 1)
+    nw_full = (Mb * _FAN if sb else Mb) // 16
+    if bucket_ids is None:
+        return run_rows(idc_cl, block_rows, hq, hmi), safe
+
+    out = jnp.zeros((S, nw_full), jnp.int32)
+    for ids, w in zip(bucket_ids, bucket_widths):
+        idr = jnp.maximum(ids, 0)
+        wb = run_rows(idc_cl[idr], block_rows[:, :w][idr], hq[idr],
+                      hmi[idr])
+        tgt = jnp.where(ids >= 0, ids, S)
+        out = out.at[tgt, :wb.shape[1]].set(wb, mode="drop")
+    return out, safe
 
 
 def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
@@ -1150,12 +1181,41 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             def _():
                 stream_pass(tile_fn, keep_bit, True)
 
-        # ---------------- density solve ----------------
-        def pair_sums(h):
+        # ------------- fused density solve + displacement -------------
+        # sweep 0 is hoisted out of the Newton while_loop as a UNION
+        # pass: the displacement needs no solved h (it runs on the
+        # metric hsml, wvt_relax.c:126-171), so it shares the sweep-0
+        # DMA stream and the pair distances (dd, r2, rsqrt) with the
+        # first density sweep.  Later sweeps (unconverged lanes only)
+        # stream density-only blocks with the cheaper sqrt form.
+        # NB per-32-receiver sub-row gating was tried and REVERTED: the
+        # 4x scf.if regions per streamed block cost ~26 cycles each,
+        # exceeding the ~25% pair-volume saving (measured 992 ms vs
+        # 579 ms per fused pass at 1e6).
+        def dens_accum(u, vj, h, r=None):
+            """WC6 density accumulation from the pair u; m4 takes r."""
+            if kernel_kind == "m4":
+                w, dw = _m4_w_dw(r, h)
+                acc_ref[:, 0:1] += (w * vj).sum(axis=1, keepdims=True)
+                acc_ref[:, 1:2] += (r * dw * vj).sum(axis=1,
+                                                     keepdims=True)
+            else:
+                t = jnp.maximum(1.0 - u, 0.0) * vj
+                t2 = t * t
+                t4 = t2 * t2
+                t7 = t4 * t2 * t
+                wpoly = 1.0 + u * (8.0 + u * (25.0 + 32.0 * u))
+                dpoly = u * u * (1.0 + u * (7.0 + 16.0 * u))
+                acc_ref[:, 0:1] += (t4 * t4 * wpoly).sum(
+                    axis=1, keepdims=True)
+                acc_ref[:, 1:2] += (t7 * dpoly).sum(
+                    axis=1, keepdims=True)
+
+        def density_pass(h):
             inv_h2 = 1.0 / (h * h)
             acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
 
-            def tile(xd, hj, wrap):
+            def tile(xd, hj, wrap, b2):
                 r2 = jnp.zeros((BLOCK, BLOCK), f32)
                 for d in range(3):
                     dd = xi[d] - xd[d]       # sources pre-wrapped
@@ -1164,26 +1224,64 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     r2 += dd * dd
                 vj = (hj > 0).astype(f32)
                 if kernel_kind == "m4":
-                    r = jnp.sqrt(r2)
-                    w, dw = _m4_w_dw(r, h)
-                    acc_ref[:, 0:1] += (w * vj).sum(axis=1, keepdims=True)
-                    acc_ref[:, 1:2] += (r * dw * vj).sum(axis=1,
-                                                         keepdims=True)
+                    dens_accum(None, vj, h, r=jnp.sqrt(r2))
                 else:
-                    u = jnp.sqrt(r2 * inv_h2)
-                    t = jnp.maximum(1.0 - u, 0.0) * vj
-                    t2 = t * t
-                    t4 = t2 * t2
-                    t7 = t4 * t2 * t
-                    wpoly = 1.0 + u * (8.0 + u * (25.0 + 32.0 * u))
-                    dpoly = u * u * (1.0 + u * (7.0 + 16.0 * u))
-                    acc_ref[:, 0:1] += (t4 * t4 * wpoly).sum(
-                        axis=1, keepdims=True)
-                    acc_ref[:, 1:2] += (t7 * dpoly).sum(
-                        axis=1, keepdims=True)
+                    dens_accum(jnp.sqrt(r2 * inv_h2), vj, h)
 
             branch_pass(tile, 0)
-            return acc_ref[:, 0:1], acc_ref[:, 1:2]
+
+        def disp_accum(r2, r, inv_r, dx, hj):
+            """displacement accumulation from shared pair distances —
+            all in WORLD units (w * dx/r is unit-free, so no box
+            conversions are needed per pair)."""
+            hbar = (hm_i + hj) * (0.5 * boxsize)   # hm rides box units
+            mask = (r2 < hbar * hbar) & (r2 > 0.0) & (hj > 0.0)
+            u = jnp.where(mask, r / hbar, 1.0)
+            if kernel_kind == "m4":
+                wflat = _m4_flat(u)
+            else:
+                t = jnp.maximum(1.0 - u, 0.0)
+                t2 = t * t
+                t4 = t2 * t2
+                wflat = t4 * t4 * (
+                    1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
+            coef = jnp.where(mask, wflat, 0.0) * inv_r
+            for d in range(3):
+                acc_ref[:, 2 + d:3 + d] += (coef * dx[d]).sum(
+                    axis=1, keepdims=True)
+
+        def union_pass(h, inv_h):
+            """sweep 0 with do_disp: one stream over the union of the
+            density and displacement block sets; each part gated by its
+            own skip bit, sharing dd/r2/rsqrt between the consumers."""
+            acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
+            acc_ref[:, 2:5] = jnp.zeros((BLOCK, 3), f32)
+
+            def tile(xd, hj, wrap, b2):
+                dx = []
+                r2 = jnp.zeros((BLOCK, BLOCK), f32)
+                for d in range(3):
+                    dd = xi[d] - xd[d]
+                    if wrap:
+                        dd = dd - boxsize * jnp.round(dd * inv_box)
+                    dx.append(dd)
+                    r2 += dd * dd
+                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+                r = r2 * inv_r                  # exact enough; 0 -> 0
+
+                @pl.when((b2 & 1) == 0)
+                def _():
+                    vj = (hj > 0).astype(f32)
+                    if kernel_kind == "m4":
+                        dens_accum(None, vj, h, r=r)
+                    else:
+                        dens_accum(r * inv_h, vj, h)
+
+                @pl.when((b2 & 2) == 2)
+                def _():
+                    disp_accum(r2, r, inv_r, dx, hj)
+
+            branch_pass(tile, 2)
 
         def norm_sums(h, raw_w, raw_rdw):
             if kernel_kind == "m4":
@@ -1192,10 +1290,12 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             norm_h3 = (1365.0 / (64.0 * const.PI)) * inv_h**3
             return raw_w * norm_h3, raw_rdw * (-22.0 * norm_h3)
 
-        def newton(state):
+        def update(state):
+            """Newton/bisection h update from the accumulated sums
+            (sph.c:175-195)."""
             k, h, lo, hi, done = state
-            raw_w, raw_rdw = pair_sums(h)
-            sum_w, sum_rdw = norm_sums(h, raw_w, raw_rdw)
+            sum_w, sum_rdw = norm_sums(h, acc_ref[:, 0:1],
+                                       acc_ref[:, 1:2])
             wk_ngb = const.FOURPITHIRD * h**3 * sum_w
             rho = mpart * sum_w
             drho = -mpart * (3.0 / h * sum_w + sum_rdw / h)
@@ -1214,14 +1314,23 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             return (k + 1, jnp.where(freeze, h, h_new), lo_n, hi_n,
                     jnp.where(freeze, 1.0, 0.0).astype(f32))
 
+        def newton(state):
+            density_pass(state[1])
+            return update(state)
+
         def cond(state):
             k, _, _, _, done = state
             return (k < n_sweeps) & jnp.logical_not(jnp.all(done > 0.5))
 
         h0c = jnp.minimum(h0, cap)
         zero = jnp.zeros((BLOCK, 1), f32)
-        _, h, _, _, done_f = jax.lax.while_loop(
-            cond, newton, (0, h0c, zero, cap, zero))
+        # sweep 0 (fused when do_disp), then the remaining sweeps
+        if do_disp:
+            union_pass(h0c, 1.0 / h0c)
+        else:
+            density_pass(h0c)
+        state = update((0, h0c, zero, cap, zero))
+        _, h, _, _, done_f = jax.lax.while_loop(cond, newton, state)
         done = done_f > 0.5
         sum_w, sum_rdw = norm_sums(h, acc_ref[:, 0:1], acc_ref[:, 1:2])
 
@@ -1235,40 +1344,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             rho_out = rho + (-0.0116 * (desnngb * 0.01) ** (-2.236)
                              * mpart * w0)
 
-        # ---------------- displacement ----------------
         if do_disp:
-            acc_ref[:, 2:5] = jnp.zeros((BLOCK, 3), f32)
-
-            def dtile(xd, hj, wrap):
-                dx = []
-                r2 = jnp.zeros((BLOCK, BLOCK), f32)
-                for d in range(3):
-                    dd = xi[d] - xd[d]              # pre-wrapped
-                    if wrap:
-                        dd = dd - boxsize * jnp.round(dd * inv_box)
-                    dd = dd * inv_box
-                    dx.append(dd)
-                    r2 += dd * dd
-                hbar = 0.5 * (hm_i + hj)
-                mask = (r2 < hbar * hbar) & (r2 > 0.0) & (hj > 0.0)
-                r = jnp.sqrt(r2)
-                u = jnp.where(mask, r / hbar, 1.0)
-                if kernel_kind == "m4":
-                    wflat = _m4_flat(u)
-                else:
-                    t = jnp.maximum(1.0 - u, 0.0)
-                    t2 = t * t
-                    t4 = t2 * t2
-                    wflat = t4 * t4 * (
-                        1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
-                w = jnp.where(mask, wflat, 0.0)
-                inv_r = jnp.where(mask, 1.0 / jnp.maximum(r, 1e-30), 0.0)
-                coef = w * inv_r
-                for d in range(3):
-                    acc_ref[:, 2 + d:3 + d] += (coef * dx[d]).sum(
-                        axis=1, keepdims=True)
-
-            branch_pass(dtile, 1)
             dnorm = hm_i * (1.0 if kernel_kind == "m4"
                             else 1365.0 / (64.0 * const.PI))
             delta = tuple(dnorm * acc_ref[:, 2 + d:3 + d]

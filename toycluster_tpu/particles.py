@@ -135,11 +135,23 @@ def halo_arrays_from_scene(scene: Scene, dtype=jnp.float32) -> HaloArrays:
     )
 
 
-def gas_density_device(r, ha: HaloArrays, j: int, cool_core=None):
-    """Device twin of Gas_density_profile (setup.c:598-615) for halo j."""
+def gas_density_device(r, ha: HaloArrays, j: int, cool_core=None,
+                       beta=None):
+    """Device twin of Gas_density_profile (setup.c:598-615) for halo j.
+
+    `beta` (static python float) short-circuits the per-particle pow
+    when every halo shares one beta: the default beta=2/3 gives the
+    closed form 1/(1+x^2) — measured ~2x on the WVT iteration's
+    rho_model stage, which evaluates this for every particle x halo."""
     taper = 1.0 + (r / ha.rcut[j]) ** 4
-    rho = (ha.rho0[j] * (1.0 + (r / ha.rcore[j]) ** 2)
-           ** (-1.5 * ha.beta[j]) / taper)
+    x2 = 1.0 + (r / ha.rcore[j]) ** 2
+    if beta is not None and abs(beta - 2.0 / 3.0) < 1e-12:
+        xp = 1.0 / x2
+    elif beta is not None:
+        xp = x2 ** (-1.5 * float(beta))
+    else:
+        xp = x2 ** (-1.5 * ha.beta[j])
+    rho = ha.rho0[j] * xp / taper
     if cool_core is not None:
         rho0_fac, rc_fac = cool_core
         rho_cc = (ha.rho0[j] * rho0_fac
