@@ -119,6 +119,31 @@ def main():
     timed("stream kernel (1 sweep + disp)",
           lambda: stream_wvt_pallas(*args, **kw, n_sweeps=1))
 
+    # ---- the production whole-iteration program (mega-jit) ----
+    if sph_mod._engine() == "pallas":
+        beta_u = sph_mod.uniform_beta(scene)
+        b_ids, b_widths = state.buckets
+        class_shape = ("bits",) + tuple(
+            (ids.shape[0], w) for ids, w in zip(b_ids, b_widths))
+        iter_fn = wvt._get_iter_fn(
+            class_shape, n_gas, bi.n_padded, float(mpart),
+            float(boxsize), desnngb, cfg.sph_kernel, None, "pallas",
+            tail_shape=None, beta=beta_u)
+        growable = jnp.full((n_gas,), sph_mod._CAP_FACTOR, jnp.float32)
+        pos_sorted = bi.pos[:n_gas]
+        h_sorted = sph_mod._pad_sorted(
+            parts.hsml[:n_gas], bi.order, bi.n_padded)[:n_gas]
+        out = timed("iter_fn (whole-iteration jit)", lambda: iter_fn(
+            pos_sorted, h_sorted, state.h_cap, state.cand.idx,
+            state.cand.count, b_ids, None, ha, growable,
+            jnp.int32(n_gas), jnp.float32(0.0085),
+            jnp.float32(1e30), jnp.int32(0)))
+        t0 = time.perf_counter()
+        n_sat = int(out[7]); em = float(out[5])
+        print(f"{'  host sync (n_sat/err floats)':44s} "
+              f"{(time.perf_counter() - t0)*1e3:9.1f} ms "
+              f"(n_sat={n_sat} err_max={em:.3f})")
+
 
 if __name__ == "__main__":
     main()

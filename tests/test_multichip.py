@@ -104,6 +104,43 @@ def test_sharded_step_solves_density_contract(small_scene):
 
 @pytest.mark.skipif(jax.device_count() < 2,
                     reason="needs multiple (virtual) devices")
+def test_sharded_stream_engine_matches_xla(small_scene):
+    """The PRODUCTION Pallas stream engine under shard_map (the TPU
+    path, run here through the Pallas interpreter) must agree with the
+    sharded XLA pair-operator engine — same candidate semantics as the
+    single-chip equivalence tests, but across the all-gathered source
+    layout (tree.c:25-111 gather semantics)."""
+    cfg, scene, ha, parts = small_scene
+    ndev = min(8, jax.device_count())
+    mesh = make_mesh(ndev)
+    pos, n_real = wvt_shard.pad_for_mesh(parts.pos[:parts.n_gas], ndev)
+    pos = wvt_shard.shard_array(mesh, pos)
+    hsml = wvt_shard.shard_array(
+        mesh, jnp.zeros((pos.shape[0],), jnp.float32))
+
+    outs = {}
+    for engine in ("xla", "stream_interpret"):
+        step_fn = wvt_shard.sharded_wvt_iteration(
+            mesh, ha, n_real=n_real, boxsize=scene.boxsize,
+            mpart=scene.mpart_gas, desnngb=cfg.desnngb,
+            kernel=cfg.sph_kernel, max_cand=64, engine=engine)
+        outs[engine] = step_fn(pos, hsml, 0.035)
+        assert int(outs[engine].cand_overflow) <= 0
+
+    a, b = outs["xla"], outs["stream_interpret"]
+    np.testing.assert_allclose(np.asarray(a.rho[:n_real]),
+                               np.asarray(b.rho[:n_real]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.hsml[:n_real]),
+                               np.asarray(b.hsml[:n_real]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.pos[:n_real]),
+                               np.asarray(b.pos[:n_real]),
+                               rtol=1e-4, atol=1e-2)
+    assert float(a.err_mean) == pytest.approx(float(b.err_mean),
+                                              rel=1e-3)
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
 def test_regularise_sharded_converges(small_scene):
     """The full multi-chip relaxation loop drives the density error down
     (the reference's convergence oracle, wvt_relax.c:91-92)."""

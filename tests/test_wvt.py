@@ -3,6 +3,7 @@ must approach the analytic model (the reference's printed per-iteration
 error stats are its convergence oracle, wvt_relax.c:91-92)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -87,6 +88,14 @@ def test_rebuild_every_equivalence(monkeypatch):
         key = jax.random.PRNGKey(11)
         parts = pos_mod.make_positions(key, scene, ha)
         parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+        # real per-particle ids BEFORE the relaxation: the loop re-sorts
+        # by Hilbert key at every rebuild, and the two runs rebuild at
+        # different cadences — matching final states by SLOT (the
+        # pipeline assigns pids only after WVT) compares different
+        # particles
+        n_gas = parts.n_gas
+        parts = parts._replace(pid=parts.pid.at[:n_gas].set(
+            jnp.arange(1, n_gas + 1, dtype=parts.pid.dtype)))
         errs = []
 
         def log(stage, **kw):

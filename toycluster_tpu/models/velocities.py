@@ -52,8 +52,14 @@ def build_velocity_tables(scene: Scene, i: int) -> VelocityTables:
         psi_rmax = jnp.asarray(df.psi.gas.psi_rmax, f32)
         r_max = jnp.asarray(df.psi.gas.r_max, f32)
     else:
-        z = jnp.zeros((2,), f32)
-        psi_gas = SplineTable(jnp.asarray([0.0, 1.0], f32), z, z)
+        # dummy spline at the REAL table length: gas-free halos must
+        # not mint their own sampler program shape (each distinct shape
+        # is a fresh XLA compile on the remote service — ~50-subhalo
+        # scenes paid minutes here)
+        from .eddington import NTABLE
+        z = jnp.zeros((NTABLE,), f32)
+        psi_gas = SplineTable(jnp.linspace(0.0, 1.0, NTABLE, dtype=f32),
+                              z, z)
         psi_rmax = jnp.asarray(0.0, f32)
         r_max = jnp.asarray(1.0, f32)
     return VelocityTables(
@@ -78,6 +84,8 @@ def potential_device(vt: VelocityTables, r):
 
 
 _VTAB_V = 256  # speed nodes per CDF row
+_VCHUNK = 1 << 18        # sampler page for host halos (one program shape)
+_VCHUNK_SMALL = 1 << 14  # sampler shape for subhaloes
 
 
 @partial(jax.jit, static_argnames=("n_rows",))
@@ -220,11 +228,11 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
         dm_offsets.append(off)
         off += h.npart_dm
 
-    # per-halo chunks concatenated once (DM blocks are contiguous):
-    # at[slice].set per halo would compile a scatter variant per distinct
-    # halo size, and un-quantized sampler shapes one program per halo —
-    # ruinous for ~50-subhalo scenes (compiles priced 0.4-400 s each on
-    # the shared remote compile service)
+    # per-halo chunks concatenated once (DM blocks are contiguous).
+    # Sampler calls run at exactly TWO shapes (_VCHUNK_SMALL for
+    # subhaloes, _VCHUNK paged for hosts): pow2-per-halo quantization
+    # still minted ~10 distinct programs per ~50-subhalo scene, each a
+    # fresh XLA compile on the remote service (priced 0.4-400 s)
     dm_chunks = []
     for i, h in enumerate(scene.halos):
         if h.npart_dm == 0:
@@ -244,16 +252,23 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
                 scene, host_df, np.random.default_rng(cfg.seed + 99))
             bulk_vel = [jnp.asarray(b, jnp.float32) for b in bulks]
         sl = slice(dm_offsets[i], dm_offsets[i] + h.npart_dm)
-        n_q = 1 << max(h.npart_dm - 1, 1).bit_length()
         d = parts.pos[sl] - (ha.d_com[i] + boxhalf)
         r = jnp.linalg.norm(d, axis=-1)
-        r_pad = jnp.concatenate(
-            [r, jnp.broadcast_to(r[-1:], (n_q - h.npart_dm,))])
         ki = jax.random.fold_in(key, 1000 + i)
-        v = sample_speeds(ki, vt, r_pad)[:h.npart_dm]
-        dirs = _sphere_dirs(jax.random.fold_in(ki, 1),
-                            n_q)[:h.npart_dm]
-        dm_chunks.append(v[:, None] * dirs + bulk_vel[i])
+        n_q = (_VCHUNK_SMALL if h.npart_dm <= _VCHUNK_SMALL
+               else _VCHUNK)
+        parts_v = []
+        for k, c0 in enumerate(range(0, h.npart_dm, n_q)):
+            c1 = min(c0 + n_q, h.npart_dm)
+            r_pad = jnp.concatenate(
+                [r[c0:c1],
+                 jnp.broadcast_to(r[c1 - 1:c1], (n_q - (c1 - c0),))])
+            kc = jax.random.fold_in(ki, 2 * k)
+            v = sample_speeds(kc, vt, r_pad)[:c1 - c0]
+            dirs = _sphere_dirs(jax.random.fold_in(kc, 1),
+                                n_q)[:c1 - c0]
+            parts_v.append(v[:, None] * dirs)
+        dm_chunks.append(jnp.concatenate(parts_v) + bulk_vel[i])
     if dm_chunks:
         vel = jnp.concatenate([vel[:n_gas]] + dm_chunks)
 

@@ -38,12 +38,47 @@ REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 8))
 _SYM_MARGIN = 1.1       # displacement-radius slack for inter-build drift
 _FAC_MAX = 2.0          # cap-ratchet ceiling (see fac_gas note below)
 # enforced inter-build drift budget: a pair's separation changes by at
-# most 2*step*dmax_rel in units of the pair range 0.5*(hm_i+hm_j), so
-# the accumulated sum must stay below the _SYM_MARGIN slack (0.1), with
-# headroom left for the per-iteration hm drift the margin also covers.
-# Median drift (~2*0.1*0.0085/it) never trips this; the 0.1-0.4 h
-# outliers the round-1 profile measured do — exactly the unguarded case.
-_DRIFT_BUDGET = 0.04
+# most 2*step*dmax_rel in units of the pair range 0.5*(hm_i+hm_j).
+# What the budget must bound is NOT the _SYM_MARGIN slack (0.1) itself
+# but the truncation ERROR of pairs that drift into range after the
+# candidate lists were built: such a pair starts >= (slack - D) outside
+# the support edge, so with cumulative drift D it ends at most
+# u >= 1 - (D - 0.1) inside.  WC6 has 8th-order contact at u=1 —
+# w(0.85) ~ 1e-5 of w(0) — so D = 0.25 keeps the missed weight orders
+# below the |wkNgb-295| < 0.05 contract granularity (the displacement
+# kernel shares the same soft edge).  The budget binds only for the
+# 0.1-0.4 h outlier lanes (~6-8 iterations), i.e. at the same cadence
+# as the scheduled REBUILD_EVERY; a max-lane accumulation tighter than
+# this rebuilt EVERY iteration and cost 2x the whole bench.
+#
+# m4 (cubic spline) has only 3rd-order edge contact — w(0.85) ~ 7e-3,
+# NOT negligible — so its budget stays strictly below the slack:
+# D < 0.1 means no pair can enter the uncovered region AT ALL and
+# structure reuse is exactly truncation-free (the REBUILD_EVERY=8 vs =1
+# equivalence test runs m4 and asserts pid-matched positions).
+_DRIFT_BUDGET = 0.25            # wc6
+_DRIFT_BUDGET_HARD_EDGE = 0.09  # kernels without high-order contact
+
+
+def _drift_budget(kernel):
+    return _DRIFT_BUDGET if kernel == "wc6" else _DRIFT_BUDGET_HARD_EDGE
+# effective solve/stream cap: the skip bits stream every block within
+# the row's cap, so streamed volume scales with (cap/h)^3 — the build
+# cap carries 1.2-2x slack (fac ratchet) purely for list coverage.
+# Solving against min(build_cap, margin*h_warm) instead prunes that
+# slack exactly (bits remain exact for any h <= cap_eff); lanes that
+# genuinely outgrow the margin saturate and re-enter via the existing
+# retry/accept machinery with h_prev = the clamped h, gaining another
+# margin factor per pass.  Cold lanes (no warm h) keep the wider slack.
+_BITS_MARGIN_WARM = 1.1
+_BITS_MARGIN_COLD = 1.25
+
+
+def _accept_band(n_gas):
+    """Saturated-lane count below which the loop accepts the capped h
+    for this iteration instead of rebuilding (the reference's
+    NGBMAX-truncation role, globals.h:50)."""
+    return max(32, n_gas // 20_000)
 
 
 @jax.jit
@@ -107,7 +142,7 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
     _SLAB = 65536
 
     @jax.jit
-    def prologue(pos_gas, h_prev, ha, n_gas_d):
+    def prologue(pos_gas, h_prev, h_cap_pad, ha, n_gas_d):
         rho_model, h0_model, h_box = _model_fields_from_rho(
             sph_mod.global_density_model(pos_gas, ha, boxsize,
                                          cool_core, beta=beta),
@@ -125,6 +160,10 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
         valid = jnp.arange(n_padded) < n_gas_d
         h0_s = pad1(h0)
         hm_s = pad1(h_box)
+        # effective solve/stream cap (see _BITS_MARGIN_*)
+        margin = jnp.where(pad1(h_prev > 0), _BITS_MARGIN_WARM,
+                           _BITS_MARGIN_COLD)
+        cap_eff_pad = jnp.minimum(h_cap_pad, h0_s * margin)
         hm_src = jnp.where(valid, hm_s, 0.0)
         pos_t = pos_pad.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
         src = jnp.concatenate(
@@ -135,15 +174,18 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
         return (rho_model, hm_s, h0_s.reshape(nb, blk.BLOCK),
                 hm_s.reshape(nb, blk.BLOCK), src,
                 pos_b.min(axis=1), pos_b.max(axis=1),
-                hm_src.reshape(nb, blk.BLOCK).max(axis=1))
+                hm_src.reshape(nb, blk.BLOCK).max(axis=1),
+                cap_eff_pad)
 
     @jax.jit
-    def epilogue(rho, hsml, vf, delta, rho_model, hm_s, h_cap_pad,
-                 done_f, growable, n_gas_d):
+    def epilogue(pos_gas, rho, hsml, vf, delta, rho_model, hm_s,
+                 h_cap_pad, cap_eff_pad, done_f, fac_gas, n_gas_d,
+                 step, err_last, it_d):
         valid = jnp.arange(n_padded) < n_gas_d
         done = done_f > 0.5
         still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
-        saturated = (~done) | (hsml >= h_cap_pad * 0.999)
+        saturated = (~done) | (hsml >= cap_eff_pad * 0.999)
+        growable = fac_gas < _FAC_MAX * 0.999
         gpad = jnp.concatenate(
             [growable, jnp.zeros((pad,), bool)]) if pad else growable
         n_sat = jnp.where(valid & saturated & still_growable & gpad,
@@ -152,14 +194,27 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
         dmax_rel = jnp.max(
             jnp.linalg.norm(delta[:n_gas], axis=1)
             / jnp.maximum(hm_s[:n_gas], 1e-30))
-        return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], delta[:n_gas],
-                rho_model, err.max(), err.mean(), n_sat, dmax_rel)
+        err_mean = err.mean()
+        err_diff = (err_last - err_mean) / err_mean
+        step_new = jnp.where((err_diff < 0.01) & (it_d > 1),
+                             step * 0.8, step)
+        pos_new = pos_gas + delta[:n_gas] * (step_new * boxsize)
+        pos_new = pos_new - jnp.floor(pos_new / boxsize) * boxsize
+        # accept-path cap ratchet on device (see _get_iter_fn epilogue)
+        accept = (n_sat > 0) & (n_sat <= _accept_band(n_gas))
+        fac_new = jnp.where(
+            accept & (hsml[:n_gas] >= h_cap_pad[:n_gas] * 0.999),
+            jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
+        return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], pos_new,
+                rho_model, err.max(), err_mean, n_sat, dmax_rel,
+                step_new, fac_new)
 
     def iter_fn(pos_gas, h_prev, h_cap_pad, cand_idx, count, class_ids,
-                tail, ha, growable, n_gas_d):
+                tail, ha, fac_gas, n_gas_d, step, err_last, it_d):
         (rho_model, hm_s, h0_b, hm_b, src,
-         bb_lo, bb_hi, bhm) = prologue(pos_gas, h_prev, ha, n_gas_d)
-        cap_b = h_cap_pad.reshape(nb, blk.BLOCK)
+         bb_lo, bb_hi, bhm, cap_eff_pad) = prologue(
+            pos_gas, h_prev, h_cap_pad, ha, n_gas_d)
+        cap_b = cap_eff_pad.reshape(nb, blk.BLOCK)
         cnt_all = jnp.minimum(count, cand_idx.shape[1])
         outs = [[] for _ in range(5)]  # rho, h, vf, done, delta
         for s0 in range(0, nb, _SLAB):
@@ -176,11 +231,11 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
             for o, r in zip(outs, (rho_s, h_s2, vf_s, done_s, delta_s)):
                 o.append(r)
         rho, hsml, vf, done, delta = (jnp.concatenate(o) for o in outs)
-        return epilogue(rho.reshape(-1), hsml.reshape(-1),
+        return epilogue(pos_gas, rho.reshape(-1), hsml.reshape(-1),
                         vf.reshape(-1), delta.reshape(-1, 3), rho_model,
-                        hm_s, h_cap_pad,
-                        done.reshape(-1).astype(jnp.float32), growable,
-                        n_gas_d)
+                        hm_s, h_cap_pad, cap_eff_pad,
+                        done.reshape(-1).astype(jnp.float32), fac_gas,
+                        n_gas_d, step, err_last, it_d)
 
     return iter_fn
 
@@ -206,10 +261,11 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
 
     @jax.jit
     def iter_fn(pos_gas, h_prev, h_cap_pad, cand_idx, count, class_ids,
-                tail, ha, growable, n_gas_d):
+                tail, ha, fac_gas, n_gas_d, step, err_last, it_d):
         # n_gas_d: DYNAMIC scalar — a static bound would constant-fold
         # the (n_padded,) iota comparison in the XLA compiler (minutes
         # at 1e7; see positions._census_counts)
+        growable = fac_gas < _FAC_MAX * 0.999
         rho_model, h0_model, h_box = _model_fields_from_rho(
             sph_mod.global_density_model(pos_gas, ha, boxsize,
                                          cool_core, beta=beta),
@@ -232,8 +288,17 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
         hm_src = jnp.where(valid, hm_s, 0.0)
         hm_blocks = hm_src.reshape(nb, 1, blk.BLOCK).astype(jnp.float32)
         h0_b = h0_s.reshape(nb, blk.BLOCK)
-        cap_b = h_cap_pad.reshape(nb, blk.BLOCK)
         hm_b = hm_s.reshape(nb, blk.BLOCK)
+        if engine == "pallas":
+            # effective cap (see _BITS_MARGIN_*): streamed volume scales
+            # with (cap/h)^3, so solve against a tight margin over the
+            # warm h instead of the slack-laden build cap
+            margin = jnp.where(pad1(h_prev > 0), _BITS_MARGIN_WARM,
+                               _BITS_MARGIN_COLD)
+            cap_eff_pad = jnp.minimum(h_cap_pad, h0_s * margin)
+        else:
+            cap_eff_pad = h_cap_pad
+        cap_b = cap_eff_pad.reshape(nb, blk.BLOCK)
 
         outs = [jnp.zeros((n_padded,), jnp.float32) for _ in range(5)]
         outs.append(jnp.zeros((n_padded, 3), jnp.float32))
@@ -333,8 +398,11 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
 
         rho, hsml, vf, wk, done_f, delta = outs
         done = done_f > 0.5
+        # saturation against the cap the solver actually used: lanes
+        # clamped at the warm-h margin self-heal next iteration (their
+        # h_prev moves to the clamped h, buying another margin factor)
         still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
-        saturated = (~done) | (hsml >= h_cap_pad * 0.999)
+        saturated = (~done) | (hsml >= cap_eff_pad * 0.999)
         n_sat = jnp.where(valid & saturated & still_growable
                           & pad1(growable), 1, 0).sum()
 
@@ -344,8 +412,27 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
         # iteration, which is why skip bits are recomputed every pass)
         dmax_rel = jnp.max(jnp.linalg.norm(delta[:n_gas], axis=1)
                            / jnp.maximum(hm_s[:n_gas], 1e-30))
-        return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], delta[:n_gas],
-                rho_model, err.max(), err.mean(), n_sat, dmax_rel)
+        # step shrink + speculative move ON DEVICE (wvt_relax.c:94-101
+        # ordering): every host round-trip costs ~20 ms over the axon
+        # tunnel, so the loop fetches ONE batch of scalars per iteration
+        # and either adopts pos_new or discards it (stop / rebuild)
+        err_mean = err.mean()
+        err_diff = (err_last - err_mean) / err_mean
+        step_new = jnp.where((err_diff < 0.01) & (it_d > 1),
+                             step * 0.8, step)
+        pos_new = pos_gas + delta[:n_gas] * (step_new * boxsize)
+        pos_new = pos_new - jnp.floor(pos_new / boxsize) * boxsize
+        # accept-path cap ratchet ON DEVICE (mirrors the host accept
+        # branch) so the loop can speculatively dispatch it+1 before
+        # fetching this iteration's n_sat: for n_sat in the accept band
+        # the only state change is fac_gas, now pre-applied here
+        accept = (n_sat > 0) & (n_sat <= _accept_band(n_gas))
+        fac_new = jnp.where(
+            accept & (hsml[:n_gas] >= h_cap_pad[:n_gas] * 0.999),
+            jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
+        return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], pos_new,
+                rho_model, err.max(), err_mean, n_sat, dmax_rel,
+                step_new, fac_new)
 
     _ITER_FN_CACHE[key] = iter_fn
     return iter_fn
@@ -432,15 +519,33 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     # the reference's NGBMAX=2360 list cap (globals.h:50) role.
     fac_gas = jnp.full((n_gas,), sph_mod._CAP_FACTOR, jnp.float32)
 
+    # one-deep speculative pipeline: iteration it+1 is dispatched with
+    # it's DEVICE outputs (pos_new, hsml, fac_new, step_new, err_mean)
+    # before it's scalars are fetched, hiding the ~20-50 ms axon host
+    # round trip plus all host-side python behind device compute.  The
+    # speculation is exact for the n_sat==0 and accept paths (the cap
+    # ratchet moved into iter_fn); a rebuild or stop discards the
+    # in-flight result.  Scheduled rebuilds are predicted from
+    # its_since_build; drift rebuilds from drift_acc + the last
+    # increment, so true mispredictions are rare.
+    pending = None     # (it, outputs) dispatched with the current state
+    drift_inc_last = 0.0
+    # the in-flight output tuple pins ~24 B/particle of extra HBM —
+    # free at 1e6, meaningful at 5e7 — so speculation is capped by size
+    speculate = (int(_os.environ.get("TOYCLUSTER_SPECULATE", "1"))
+                 and n_gas <= 20_000_000)
+    drift_budget = _drift_budget(cfg.sph_kernel)
+
     for it in range(it0, max_iter + 1):
         # ONE neighbour structure serves the density solve AND the
         # displacement pass (the reference builds one tree per iteration
         # and walks it twice, wvt_relax.c:66-171); the structure is
         # reused across REBUILD_EVERY iterations
         if its_since_build >= REBUILD_EVERY or (
-                drift_acc > _DRIFT_BUDGET) or (
+                drift_acc > drift_budget) or (
                 state is not None and state.tail is not None):
             state = None
+            pending = None
 
         grow_mask = None   # per-particle: only saturated lanes get the
         #                    grown cap, so windows stay tight
@@ -507,29 +612,54 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                     tail=tail_shape,
                     n_sat=int(n_sat_d) if attempt else 0)
 
-            out = iter_fn(pos_gas, h_prev, state.h_cap, state.cand.idx,
-                          state.cand.count, class_ids, state.tail, ha,
-                          fac_gas < _FAC_MAX * 0.999,
-                          jnp.int32(n_gas))
-            (rho, hsml, vf, delta_box, rho_model_s, err_max_d,
-             err_mean_d, n_sat_d, dmax_rel_d) = out
+            if pending is not None and pending[0] == it:
+                out = pending[1]
+            else:
+                out = iter_fn(pos_gas, h_prev, state.h_cap,
+                              state.cand.idx, state.cand.count,
+                              class_ids, state.tail, ha, fac_gas,
+                              jnp.int32(n_gas), jnp.float32(step),
+                              jnp.float32(err_last), jnp.int32(it))
+            pending = None
+            (rho, hsml, vf, pos_new, rho_model_s, err_max_d,
+             err_mean_d, n_sat_d, dmax_rel_d, step_new_d,
+             fac_new_d) = out
             del out  # the tuple would pin ~1.5 GB at 5e7 gas
-            n_sat = int(n_sat_d)
+            # speculate it+1 BEFORE fetching it's scalars, unless a
+            # rebuild is predictable from host state.  A stop rule
+            # firing wastes the one in-flight dispatch at the very end
+            # of the relaxation — far cheaper than forgoing the overlap
+            # on every iteration past 25.
+            predict_rebuild = (
+                its_since_build + 1 >= REBUILD_EVERY
+                or drift_acc + 1.5 * drift_inc_last > drift_budget
+                or state.tail is not None)
+            if speculate and it < max_iter and not predict_rebuild:
+                pending = (it + 1, iter_fn(
+                    pos_new, hsml, state.h_cap, state.cand.idx,
+                    state.cand.count, class_ids, state.tail, ha,
+                    fac_new_d, jnp.int32(n_gas), step_new_d,
+                    err_mean_d, jnp.int32(it + 1)))
+            # ONE host transfer for every loop scalar — each separate
+            # float() costs a ~20 ms round trip over the axon tunnel
+            err_max, err_mean, n_sat, dmax_rel_v, step_new = map(
+                float, jax.device_get((err_max_d, err_mean_d, n_sat_d,
+                                       dmax_rel_d, step_new_d)))
+            n_sat = int(n_sat)
             if n_sat == 0:
+                fac_gas = fac_new_d
                 break
-            if n_sat <= max(32, n_gas // 20_000):
+            if n_sat <= _accept_band(n_gas):
                 # a handful of freshly-saturated lanes each iteration is
                 # the steady state of merger configs; accept their
                 # capped h now (the reference accepts NGBMAX-truncated
-                # lists the same way, globals.h:50) and pre-ratchet
-                # their cap factor so the next scheduled rebuild covers
-                # them
-                fac_gas = jnp.where(
-                    hsml >= state.h_cap[:n_gas] * 0.999,
-                    jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
-                # the accepted lanes carry a capped/unconverged h this
-                # iteration (ADVICE r1): record the contract deviation
-                # so flagship artifacts can report it
+                # lists the same way, globals.h:50) — the cap-factor
+                # ratchet for the next build is pre-applied in fac_new_d
+                # (device, so the speculative dispatch above stays
+                # valid).  The accepted lanes carry a capped/unconverged
+                # h this iteration (ADVICE r1): record the contract
+                # deviation so flagship artifacts can report it
+                fac_gas = fac_new_d
                 log("wvt_accept", it=it, n_accept=n_sat)
                 break
             # saturation: the build-time search radius no longer covers
@@ -537,9 +667,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             # cap-limited lanes.  Free this attempt's outputs first: at
             # 5e7 gas they are ~1.5 GB that must not ride through the
             # next build+solve.
+            pending = None
             grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
             h_prev = hsml
-            del rho, hsml, vf, delta_box, rho_model_s
+            del rho, hsml, vf, pos_new, rho_model_s
             state = None
         else:
             raise RuntimeError(
@@ -550,33 +681,31 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         rho_l, hsml_l, vf_l, rho_model_l = rho, hsml, vf, rho_model_s
         h_prev = hsml
 
-        err_max = float(err_max_d)
-        err_mean = float(err_mean_d)
         err_diff = (err_last - err_mean) / err_mean
 
         log("wvt", it=it, err_max=round(err_max, 4),
             err_mean=round(err_mean, 5), err_diff=round(err_diff, 5),
             step=step)
 
-        # stopping rules, then the step factor — the displacement is
-        # applied only when the loop continues, with the post-shrink step
-        # (wvt_relax.c:94-101 ordering)
+        # stopping rules (host), then adopt the device-side post-shrink
+        # move (wvt_relax.c:94-101 ordering — pos_new was computed with
+        # step_new, which only the continuing loop uses)
         if err_diff < err_limit and it > 25:
             fresh = True
             break
         if err_diff < 0 and err_diff_last < 0 and it > 10:
             fresh = True
             break
-        if err_diff < 0.01 and it > 1:
-            step *= 0.8
+        step = step_new
         err_last = err_mean
         err_diff_last = err_diff
 
-        pos_gas = _move(pos_gas, delta_box * step, boxsize)
+        pos_gas = pos_new
         # accumulate the applied drift against the rebuild budget (both
         # pair endpoints move, hence the factor 2)
-        drift_acc += 2.0 * float(dmax_rel_d) * step
-        del delta_box
+        drift_inc_last = 2.0 * dmax_rel_v * step
+        drift_acc += drift_inc_last
+        del pos_new
 
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             # saved in ORIGINAL particle order so a fresh process (with

@@ -1115,6 +1115,18 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         # half-extent + max pair range could reach box/2 re-wrap per pair
         safe = cen_ref[s, 3] > 0
 
+        # receiver coords centred on the row's reference point — pairs
+        # with the centred source rows built in stream_pass need no
+        # per-pair reference subtraction.
+        # NB an MXU r2 tile via the augmented quadratic identity
+        # ([-2x|1||x|^2] @ [x;|x|^2;1], K=8) was tried and REVERTED:
+        # measured 898 ms vs 615 ms per fused pass at 1e6 (the K=8
+        # matmul wastes 15/16 of the systolic depth while the operand
+        # augmentation adds VPU work), and its quadratic-identity
+        # roundoff created spurious saturated lanes (n_sat 3 vs 0)
+        # that triggered rebuild storms in the WVT loop.
+        xi_c = [xi[d] - xref[d] for d in range(3)]
+
         def issue(g):
             if sb_nb:
                 copy_of(g, 0).start()
@@ -1152,19 +1164,22 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     def _(f=f, slot=slot, b2=b2):
                         row = (slot * _FAN + f) * 4
                         # hoist the periodic min-image wrap out of the
-                        # (B,B) tile: wrap the source ROW once against
-                        # the row's centre.  Valid when half-extent +
-                        # pair range < box/2 (checked per row by
-                        # stream_skip_bits): any in-range pair then
-                        # lands at its true min-image separation, and
-                        # far sources can only come out FARTHER (never
-                        # aliased into kernel support).
-                        xd = [csc[pl.ds(row + d, 1), :] for d in range(3)]
-                        xd = [x - boxsize * jnp.round(
-                            (x - xref[d]) * inv_box)
-                            for d, x in enumerate(xd)]
+                        # (B,B) tile: wrap the CENTRED source row once
+                        # against the row's reference point.  Valid when
+                        # half-extent + pair range < box/2 (checked per
+                        # row by stream_skip_bits): any in-range pair
+                        # then lands at its true min-image separation,
+                        # and far sources can only come out FARTHER
+                        # (never aliased into kernel support).  Unsafe
+                        # rows keep the centred-but-unwrapped rows and
+                        # re-wrap per pair in the tile.
+                        t = [csc[pl.ds(row + d, 1), :] - xref[d]
+                             for d in range(3)]
+                        if not wrap:
+                            t = [x - boxsize * jnp.round(x * inv_box)
+                                 for x in t]
                         hj = csc[pl.ds(row + 3, 1), :]
-                        tile_fn(xd, hj, wrap, b2)
+                        tile_fn(t, hj, wrap, b2)
                 return carry
 
             jax.lax.fori_loop(0, n_grp, body, 0)
@@ -1211,17 +1226,26 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 acc_ref[:, 1:2] += (t7 * dpoly).sum(
                     axis=1, keepdims=True)
 
+        def tile_r2(xjc, wrap):
+            """(B,B) pair separations for one streamed block.  Safe rows
+            use the hoisted wrap (sources pre-wrapped once per block in
+            stream_pass); oversized rows re-wrap per pair."""
+            dx = []
+            r2 = jnp.zeros((BLOCK, BLOCK), f32)
+            for d in range(3):
+                dd = xi_c[d] - xjc[d]
+                if wrap:
+                    dd = dd - boxsize * jnp.round(dd * inv_box)
+                dx.append(dd)
+                r2 += dd * dd
+            return r2, dx
+
         def density_pass(h):
             inv_h2 = 1.0 / (h * h)
             acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
 
-            def tile(xd, hj, wrap, b2):
-                r2 = jnp.zeros((BLOCK, BLOCK), f32)
-                for d in range(3):
-                    dd = xi[d] - xd[d]       # sources pre-wrapped
-                    if wrap:
-                        dd = dd - boxsize * jnp.round(dd * inv_box)
-                    r2 += dd * dd
+            def tile(xjc, hj, wrap, b2):
+                r2, _aux = tile_r2(xjc, wrap)
                 vj = (hj > 0).astype(f32)
                 if kernel_kind == "m4":
                     dens_accum(None, vj, h, r=jnp.sqrt(r2))
@@ -1230,12 +1254,12 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
             branch_pass(tile, 0)
 
-        def disp_accum(r2, r, inv_r, dx, hj):
-            """displacement accumulation from shared pair distances —
+        def disp_coef(r2, r, inv_r, hj, noise_floor):
+            """masked flat-kernel displacement coefficient w(u)/r —
             all in WORLD units (w * dx/r is unit-free, so no box
             conversions are needed per pair)."""
             hbar = (hm_i + hj) * (0.5 * boxsize)   # hm rides box units
-            mask = (r2 < hbar * hbar) & (r2 > 0.0) & (hj > 0.0)
+            mask = (r2 < hbar * hbar) & (r2 > noise_floor) & (hj > 0.0)
             u = jnp.where(mask, r / hbar, 1.0)
             if kernel_kind == "m4":
                 wflat = _m4_flat(u)
@@ -1245,27 +1269,17 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 t4 = t2 * t2
                 wflat = t4 * t4 * (
                     1.0 + u * (8.0 + u * (25.0 + 32.0 * u)))
-            coef = jnp.where(mask, wflat, 0.0) * inv_r
-            for d in range(3):
-                acc_ref[:, 2 + d:3 + d] += (coef * dx[d]).sum(
-                    axis=1, keepdims=True)
+            return jnp.where(mask, wflat, 0.0) * inv_r
 
         def union_pass(h, inv_h):
             """sweep 0 with do_disp: one stream over the union of the
             density and displacement block sets; each part gated by its
-            own skip bit, sharing dd/r2/rsqrt between the consumers."""
+            own skip bit, sharing the r2 tile between the consumers."""
             acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
             acc_ref[:, 2:5] = jnp.zeros((BLOCK, 3), f32)
 
-            def tile(xd, hj, wrap, b2):
-                dx = []
-                r2 = jnp.zeros((BLOCK, BLOCK), f32)
-                for d in range(3):
-                    dd = xi[d] - xd[d]
-                    if wrap:
-                        dd = dd - boxsize * jnp.round(dd * inv_box)
-                    dx.append(dd)
-                    r2 += dd * dd
+            def tile(xjc, hj, wrap, b2):
+                r2, dx = tile_r2(xjc, wrap)
                 inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
                 r = r2 * inv_r                  # exact enough; 0 -> 0
 
@@ -1279,7 +1293,11 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
                 @pl.when((b2 & 2) == 2)
                 def _():
-                    disp_accum(r2, r, inv_r, dx, hj)
+                    # r2 is exact: r2 == 0 only for self pairs
+                    coef = disp_coef(r2, r, inv_r, hj, 0.0)
+                    for d in range(3):
+                        acc_ref[:, 2 + d:3 + d] += (
+                            coef * dx[d]).sum(axis=1, keepdims=True)
 
             branch_pass(tile, 2)
 

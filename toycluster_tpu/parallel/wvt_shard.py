@@ -45,6 +45,7 @@ except ImportError:  # older jax
 from .. import constants as const
 from ..ops import pair_ops
 from ..ops.blocks import BLOCK, BlockIndex, _interval_dist2
+from ..ops.pallas_pair import _FAN, stream_skip_bits, stream_wvt_pallas
 from ..ops.keys import hilbert_order
 from ..particles import HaloArrays
 from ..models.sph import global_density_model
@@ -104,16 +105,27 @@ def _local_candidates(lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize,
 def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
                           boxsize: float, mpart: float, desnngb: int,
                           kernel: str = "wc6", max_cand: int = 256,
-                          cool_core=None):
+                          cool_core=None, engine: str = "auto"):
     """Build the jittable sharded iteration.
 
     Returns `step_fn(pos, hsml_prev, step) -> ShardStepResult` operating on
     (N,3)/(N,) arrays where N = n_real padded up to a multiple of
     BLOCK * mesh size (padding repeats real particles and is masked out of
     every pair sum and reduction).
+
+    `engine`: 'auto' runs the production Pallas stream kernel on TPU and
+    the XLA pair operators elsewhere; 'xla' forces the XLA path;
+    'stream' forces the stream kernel; 'stream_interpret' runs the
+    stream kernel through the Pallas interpreter (CPU-mesh equivalence
+    tests).
     """
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
+    if engine == "auto":
+        engine = ("stream" if jax.default_backend() not in ("cpu",)
+                  else "xla")
+    interpret = engine == "stream_interpret"
+    use_stream = engine in ("stream", "stream_interpret")
 
     def body(pos_l, hprev_l, valid_l, step):
         nbl = pos_l.shape[0] // BLOCK
@@ -148,47 +160,95 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
         rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
 
-        cand, overflow = _local_candidates(
-            lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize, max_cand)
-        overflow = jax.lax.pmax(overflow, axis)
+        rec_ids = (ax.astype(jnp.int32) * nbl
+                   + jnp.arange(nbl, dtype=jnp.int32))
+        cap_b = cap_l.reshape(nbl, BLOCK)
+        h0_b = h_guess_l.reshape(nbl, BLOCK)
+        hm_b = hm_l.reshape(nbl, BLOCK)
 
-        dummy3 = jnp.zeros((1, 3), pos_l.dtype)
-        bi = BlockIndex(order=jnp.arange(pos_all.shape[0],
-                                         dtype=jnp.int32),
-                        pos=pos_all, valid=valid_all, bb_lo=lo_all,
-                        bb_hi=hi_all, sb_lo=dummy3, sb_hi=dummy3)
-        sel = pair_ops.BlockSelection(
-            ids=ax.astype(jnp.int32) * nbl
-            + jnp.arange(nbl, dtype=jnp.int32), cand=cand)
+        if use_stream:
+            # the PRODUCTION Pallas stream engine, shard-local: identical
+            # structures to the single-chip path (wvt._get_iter_fn pallas
+            # branch) with the all-gathered global source array standing
+            # in for the local one.  Candidate lists are superblock-
+            # granular (level-1 bboxes reduced over _FAN member blocks);
+            # the skip bits re-test each member block vs CURRENT
+            # positions inside the shard.
+            nb_all = pos_all.shape[0] // BLOCK
+            hm_src_all = jnp.where(valid_all, hm_all, 0.0)
+            src = jnp.concatenate(
+                [pos_all.reshape(nb_all, BLOCK, 3).transpose(0, 2, 1),
+                 hm_src_all.reshape(nb_all, 1, BLOCK)], axis=1)
+            bhm_all = hm_src_all.reshape(nb_all, BLOCK).max(axis=1)
+            ns = nb_all // _FAN
+            sb_lo = lo_all.reshape(ns, _FAN, 3).min(axis=1)
+            sb_hi = hi_all.reshape(ns, _FAN, 3).max(axis=1)
+            sb_rad = rad_all.reshape(ns, _FAN).max(axis=1)
+            m_sb = min(max(16, max_cand // 4), ns)
+            cand_sb, overflow = _local_candidates(
+                lo_l, hi_l, rad_l, sb_lo, sb_hi, sb_rad, boxsize, m_sb)
+            overflow = jax.lax.pmax(overflow, axis)
+            cnt = (cand_sb >= 0).sum(axis=1).astype(jnp.int32)
+            bits, safe = stream_skip_bits(
+                lo_all, hi_all, bhm_all, rec_ids, cand_sb, cap_b, hm_b,
+                float(boxsize), sb=True)
+            xi = pos_l.reshape(nbl, BLOCK, 3).transpose(0, 2, 1)
+            rho_b, h_b, _vf, _wk, done_b, delta_b = stream_wvt_pallas(
+                src, cand_sb, cnt, xi, h0_b, cap_b, hm_b, float(mpart),
+                float(boxsize), kernel=kernel, desnngb=desnngb,
+                sb_mode=True, bits=bits, safe=safe, interpret=interpret)
+            rho_r = rho_b.reshape(-1)
+            hsml_r = h_b.reshape(-1)
+            done_r = done_b.reshape(-1) > 0.5
+            sat_l = (~done_r) | (hsml_r >= cap_l * 0.999)
+            # stream delta is unscaled (step applied by the caller, as in
+            # the single-chip loop)
+            delta = delta_b.reshape(-1, 3) * step
+        else:
+            cand, overflow = _local_candidates(
+                lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize,
+                max_cand)
+            overflow = jax.lax.pmax(overflow, axis)
 
-        # SPH density + adaptive hsml (receiver rows stay shard-local)
-        res = pair_ops.solve_density(
-            bi, sel, h_guess_l.reshape(nbl, BLOCK),
-            cap_l.reshape(nbl, BLOCK), mpart, boxsize, kernel=kernel,
-            desnngb=desnngb)
+            dummy3 = jnp.zeros((1, 3), pos_l.dtype)
+            bi = BlockIndex(order=jnp.arange(pos_all.shape[0],
+                                             dtype=jnp.int32),
+                            pos=pos_all, valid=valid_all, bb_lo=lo_all,
+                            bb_hi=hi_all, sb_lo=dummy3, sb_hi=dummy3)
+            sel = pair_ops.BlockSelection(ids=rec_ids, cand=cand)
+
+            # SPH density + adaptive hsml (receiver rows shard-local)
+            res = pair_ops.solve_density(
+                bi, sel, h0_b, cap_b, mpart, boxsize, kernel=kernel,
+                desnngb=desnngb)
+            rho_r, hsml_r, sat_l = res.rho, res.hsml, res.saturated
+            # displacement pass reusing the same candidate lists
+            delta = pair_ops.wvt_displacement(
+                bi, sel, hm_all, step, boxsize, kernel=kernel)
+
         n_sat = jax.lax.psum(
-            jnp.where(valid_l, res.saturated, False).sum(), axis)
+            jnp.where(valid_l, sat_l, False).sum(), axis)
 
         # error stats vs the model (wvt_relax.c:74-87)
-        err = jnp.abs(res.rho - rho_model_l) / rho_model_l
+        err = jnp.abs(rho_r - rho_model_l) / rho_model_l
         err = jnp.where(valid_l, err, 0.0)
         err_max = jax.lax.pmax(err.max(), axis)
         err_mean = (jax.lax.psum(err.sum(), axis)
                     / jax.lax.psum(valid_l.sum().astype(err.dtype), axis))
 
-        # displacement pass reusing the same candidate lists
-        delta = pair_ops.wvt_displacement(bi, sel, hm_all, step, boxsize,
-                                          kernel=kernel)
         new_pos = pos_l + delta * boxsize
         new_pos = new_pos - jnp.floor(new_pos / boxsize) * boxsize
 
-        return (new_pos, res.rho, res.hsml, err_mean, err_max,
+        return (new_pos, rho_r, hsml_r, err_mean, err_max,
                 n_sat, overflow)
 
     sharded_body = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()))
+        out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        # pallas_call emits vma-less ShapeDtypeStructs, which the
+        # default check_vma=True rejects inside shard_map
+        check_vma=False)
 
     @jax.jit
     def step_fn(pos, hsml_prev, step):
@@ -196,6 +256,10 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         assert n % (BLOCK * n_dev) == 0, (
             f"N={n} must be a multiple of BLOCK*n_devices="
             f"{BLOCK * n_dev}; pad with pad_for_mesh()")
+        if use_stream:
+            assert (n // BLOCK) % _FAN == 0, (
+                f"stream engine needs the global block count divisible "
+                f"by _FAN={_FAN}; pad with pad_for_mesh()")
         order = hilbert_order(pos, boxsize)
         pos_s = pos[order]
         hprev_s = hsml_prev[order]
@@ -215,9 +279,12 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
 
 def pad_for_mesh(pos, n_dev):
     """Pad (N,3) positions (repeating the last particle) up to a multiple
-    of BLOCK * n_dev; returns (padded_pos, n_real)."""
+    of BLOCK * lcm(n_dev, _FAN) — shard-divisible AND superblock-aligned
+    (the stream engine groups _FAN consecutive global blocks);
+    returns (padded_pos, n_real)."""
+    import math
     n = pos.shape[0]
-    q = BLOCK * n_dev
+    q = BLOCK * math.lcm(n_dev, _FAN)
     n_pad = -(-n // q) * q
     if n_pad > n:
         pos = jnp.concatenate(
@@ -234,7 +301,7 @@ def shard_array(mesh, x):
 def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
                        kernel="wc6", max_cand=256, step=0.0085,
                        max_iter=64, err_diff_limit=0.01, cool_core=None,
-                       log=None):
+                       log=None, engine="auto"):
     """Full multi-chip WVT relaxation loop: the sharded iteration under the
     reference's host-side early-stop / step-shrink control flow
     (wvt_relax.c:94-101)."""
@@ -246,7 +313,7 @@ def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
     step_fn = sharded_wvt_iteration(
         mesh, ha, n_real=n_real, boxsize=boxsize, mpart=mpart,
         desnngb=desnngb, kernel=kernel, max_cand=max_cand,
-        cool_core=cool_core)
+        cool_core=cool_core, engine=engine)
 
     err_last = math.inf
     err_diff_last = math.inf
