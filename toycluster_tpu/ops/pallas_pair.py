@@ -1070,7 +1070,8 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
     out_ref = rest[7]
     csc = rest[8]
     acc_ref = rest[9]
-    sem = rest[10]
+    acc2 = rest[10]     # (5*B, B) full-tile accumulators (see below)
+    sem = rest[11]
 
     s = pl.program_id(0)
     f32 = jnp.float32
@@ -1207,13 +1208,17 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         # 4x scf.if regions per streamed block cost ~26 cycles each,
         # exceeding the ~25% pair-volume saving (measured 992 ms vs
         # 579 ms per fused pass at 1e6).
+        #
+        # Per-pair sums accumulate into FULL (B,B) tiles (acc2) and are
+        # lane-reduced ONCE at the end of each pass: the per-tile
+        # sum(axis=1) lane reduction (~7 shuffle steps over 16 vregs
+        # per quantity) was ~10-15% of the pass's issue slots.
         def dens_accum(u, vj, h, r=None):
             """WC6 density accumulation from the pair u; m4 takes r."""
             if kernel_kind == "m4":
                 w, dw = _m4_w_dw(r, h)
-                acc_ref[:, 0:1] += (w * vj).sum(axis=1, keepdims=True)
-                acc_ref[:, 1:2] += (r * dw * vj).sum(axis=1,
-                                                     keepdims=True)
+                acc2[0:BLOCK, :] += w * vj
+                acc2[BLOCK:2 * BLOCK, :] += (r * dw) * vj
             else:
                 t = jnp.maximum(1.0 - u, 0.0) * vj
                 t2 = t * t
@@ -1221,10 +1226,8 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 t7 = t4 * t2 * t
                 wpoly = 1.0 + u * (8.0 + u * (25.0 + 32.0 * u))
                 dpoly = u * u * (1.0 + u * (7.0 + 16.0 * u))
-                acc_ref[:, 0:1] += (t4 * t4 * wpoly).sum(
-                    axis=1, keepdims=True)
-                acc_ref[:, 1:2] += (t7 * dpoly).sum(
-                    axis=1, keepdims=True)
+                acc2[0:BLOCK, :] += t4 * t4 * wpoly
+                acc2[BLOCK:2 * BLOCK, :] += t7 * dpoly
 
         def tile_r2(xjc, wrap):
             """(B,B) pair separations for one streamed block.  Safe rows
@@ -1240,12 +1243,18 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 r2 += dd * dd
             return r2, dx
 
+        def reduce_dens():
+            acc_ref[:, 0:1] = acc2[0:BLOCK, :].sum(
+                axis=1, keepdims=True)
+            acc_ref[:, 1:2] = acc2[BLOCK:2 * BLOCK, :].sum(
+                axis=1, keepdims=True)
+
         def density_pass(h):
             inv_h2 = 1.0 / (h * h)
-            acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
+            acc2[0:2 * BLOCK, :] = jnp.zeros((2 * BLOCK, BLOCK), f32)
 
             def tile(xjc, hj, wrap, b2):
-                r2, _aux = tile_r2(xjc, wrap)
+                r2, _dx = tile_r2(xjc, wrap)
                 vj = (hj > 0).astype(f32)
                 if kernel_kind == "m4":
                     dens_accum(None, vj, h, r=jnp.sqrt(r2))
@@ -1253,6 +1262,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     dens_accum(jnp.sqrt(r2 * inv_h2), vj, h)
 
             branch_pass(tile, 0)
+            reduce_dens()
 
         def disp_coef(r2, r, inv_r, hj, noise_floor):
             """masked flat-kernel displacement coefficient w(u)/r —
@@ -1275,8 +1285,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             """sweep 0 with do_disp: one stream over the union of the
             density and displacement block sets; each part gated by its
             own skip bit, sharing the r2 tile between the consumers."""
-            acc_ref[:, 0:2] = jnp.zeros((BLOCK, 2), f32)
-            acc_ref[:, 2:5] = jnp.zeros((BLOCK, 3), f32)
+            acc2[...] = jnp.zeros((5 * BLOCK, BLOCK), f32)
 
             def tile(xjc, hj, wrap, b2):
                 r2, dx = tile_r2(xjc, wrap)
@@ -1296,10 +1305,15 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     # r2 is exact: r2 == 0 only for self pairs
                     coef = disp_coef(r2, r, inv_r, hj, 0.0)
                     for d in range(3):
-                        acc_ref[:, 2 + d:3 + d] += (
-                            coef * dx[d]).sum(axis=1, keepdims=True)
+                        acc2[(2 + d) * BLOCK:(3 + d) * BLOCK, :] += (
+                            coef * dx[d])
 
             branch_pass(tile, 2)
+            reduce_dens()
+            for d in range(3):
+                acc_ref[:, 2 + d:3 + d] = acc2[
+                    (2 + d) * BLOCK:(3 + d) * BLOCK, :].sum(
+                    axis=1, keepdims=True)
 
         def norm_sums(h, raw_w, raw_rdw):
             if kernel_kind == "m4":
@@ -1519,6 +1533,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
         scratch_shapes=[
             pltpu.VMEM((_SLOTS * _FAN * 4, BLOCK), f32),
             pltpu.VMEM((BLOCK, 8), f32),
+            pltpu.VMEM((5 * BLOCK, BLOCK), f32),
             pltpu.SemaphoreType.DMA(
                 (_SLOTS,) if sb_mode else (_SLOTS * _FAN,)),
         ],
