@@ -15,6 +15,7 @@ halo membership rides along in `parts.halo`.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -141,6 +142,7 @@ def _pad_sorted(x, order, n_padded, fill_last=True):
 # keeps the jit shapes stable (avoids recompile flip-flop in the WVT loop)
 _LAST_MAX_CAND: dict = {}
 _BUCKET_MEMO: dict = {}  # nb -> skip-bits bucket widths ever emitted
+_TRIM_MEMO: dict = {}    # nb -> widest post-trim list this process saw
 
 
 def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
@@ -163,9 +165,23 @@ def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
         radius = jnp.zeros_like(radius)
     else:
         radius_sym = jnp.zeros_like(radius)
+    cand = _sb_candidates(bi, key, radius, radius_sym, boxsize)
+    cand, buckets = _trim_and_buckets(cand)
+    return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
+                          max_cand=cand.idx.shape[1], tail=None, sb=True,
+                          buckets=buckets)
+
+
+def _sb_candidates(bi, key, radius, radius_sym, boxsize):
+    """Superblock candidate search with the sticky/grow-on-overflow
+    width policy."""
     ns = bi.sb_lo.shape[0]
-    width_cap = min(_SB_WIDTH_CAP, ns)
-    m_sb = min(_LAST_MAX_CAND.get(key, 192), ns)
+    # even cap: the skip-bit packing needs an even superblock width
+    # (m_blocks = M * _FAN must land on 16); an overflowing row at an
+    # odd ns truncates its one farthest superblock instead (the
+    # distance-ordered NGBMAX-style truncation the callers absorb)
+    width_cap = max(2, min(_SB_WIDTH_CAP, ns) & ~1)
+    m_sb = min(_LAST_MAX_CAND.get(key, 192), width_cap)
     rec = jnp.arange(bi.n_blocks, dtype=jnp.int32)
     while True:
         cand = blk.find_candidates_super(bi, rec, radius, radius_sym,
@@ -175,23 +191,37 @@ def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
             break
         m_sb = min(-(-int((m_sb + over) * 1.12) // 64) * 64, width_cap)
     _LAST_MAX_CAND[key] = m_sb
-    # trim the sticky build width to the actual need (pow2-quantized):
-    # the stream kernel is width-agnostic, but the skip-bits pass and
-    # SMEM chunking pay for every padded column
-    w_need = max(int(cand.count.max()), 1)
+    return cand
+
+
+def _trim_and_buckets(cand):
+    """Width trim + count buckets for the skip-bits pass.
+
+    The trim cuts the sticky build width to the pow2-quantized need
+    (the skip-bits pass and SMEM chunking pay for every padded column)
+    but never below a width this process already emitted for this row
+    count: a narrower trim would mint a fresh iteration-program shape
+    mid-run (observed: a 448->256 shrink cost a ~6 s recompile inside
+    the timed loop) for zero compute win.
+    """
+    counts = np.asarray(cand.count)
+    nb_rows = len(counts)
+    w_need = max(int(counts.max()), 1)
     w_q = max(64, 1 << (w_need - 1).bit_length())
+    w_q = max(w_q, _TRIM_MEMO.get(nb_rows, 0))
+    w_q = min(w_q, cand.idx.shape[1])
+    _TRIM_MEMO[nb_rows] = w_q
     if w_q < cand.idx.shape[1]:
         cand = cand._replace(idx=cand.idx[:, :w_q])
-    # count buckets for the skip-bits pass: p50 counts sit ~10x below
-    # the padded width, and the pass's bbox gather scales with the
-    # width each row is processed at.  Sticky-quantized sizes keep the
-    # per-iteration jit shapes stable across rebuilds.
-    counts = np.asarray(cand.count)
+    # count buckets: p50 counts sit ~10x below the padded width, and
+    # the skip-bits bbox gather scales with the width each row is
+    # processed at.  Sticky-quantized sizes keep the per-iteration jit
+    # shapes stable across rebuilds.
     width_full = cand.idx.shape[1]
     b_ids, b_widths = [], []
     prev = 0
     w = 64
-    seen = _BUCKET_MEMO.setdefault(len(counts), set())
+    seen = _BUCKET_MEMO.setdefault(nb_rows, set())
     while prev < width_full:
         w_eff = min(w, width_full)
         sel = np.where((np.minimum(counts, width_full) > prev)
@@ -202,16 +232,91 @@ def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
         if len(sel) or w_eff in seen:
             seen.add(w_eff)
             padded = np.full(
-                _quantize_size(len(sel), len(counts), -w_eff), -1,
+                _quantize_size(len(sel), nb_rows, -w_eff), -1,
                 np.int32)
             padded[:len(sel)] = sel
             b_ids.append(jnp.asarray(padded))
             b_widths.append(w_eff)
         prev = w_eff
         w *= 2
-    return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
-                          max_cand=cand.idx.shape[1], tail=None, sb=True,
-                          buckets=(tuple(b_ids), tuple(b_widths)))
+    return cand, (tuple(b_ids), tuple(b_widths))
+
+
+@partial(jax.jit, static_argnames=("nb", "boxsize"))
+def _refresh_bboxes(pos_sorted_pad, nb, boxsize):
+    """Block + superblock bboxes from CURRENT sorted positions.
+
+    WRAP-AWARE: drifted members of a boundary block may have wrapped
+    to the far side of the box; a naive min/max bbox then spans the
+    whole box and the candidate search degenerates (observed: width
+    blow-up to every superblock).  Re-centre members on the block's
+    first particle with min-image deltas — blocks are far smaller than
+    box/2, so the re-centred bbox is exact (it may extend outside
+    [0, box); _interval_dist2 wraps centre deltas, so that is fine)."""
+    pb = pos_sorted_pad.reshape(nb, blk.BLOCK, 3)
+    ref = pb[:, :1, :]
+    d = pb - ref
+    d = d - boxsize * jnp.round(d / boxsize)
+    bb_lo = ref[:, 0] + d.min(axis=1)
+    bb_hi = ref[:, 0] + d.max(axis=1)
+    ns = -(-nb // blk.SUPER)
+    padb = ns * blk.SUPER - nb
+    if padb:
+        lo_p = jnp.concatenate(
+            [bb_lo, jnp.broadcast_to(bb_lo[-1:], (padb, 3))])
+        hi_p = jnp.concatenate(
+            [bb_hi, jnp.broadcast_to(bb_hi[-1:], (padb, 3))])
+    else:
+        lo_p, hi_p = bb_lo, bb_hi
+    sb_lo = lo_p.reshape(ns, blk.SUPER, 3).min(axis=1)
+    sb_hi = hi_p.reshape(ns, blk.SUPER, 3).max(axis=1)
+    return bb_lo, bb_hi, sb_lo, sb_hi
+
+
+def refresh_candidates(state: "NeighbourState", pos_sorted_gas,
+                       radius_sym_gas, boxsize):
+    """Drift refresh: rebuild the candidate lists and skip-bit buckets
+    from CURRENT positions while keeping the sort / block membership.
+
+    The stream kernel's skip bits re-test every candidate block against
+    current positions each iteration, but the candidate LISTS carry
+    build-time slack (_SYM_MARGIN): once accumulated drift spends that
+    slack, the lists — not the sort — are what must be rebuilt.  A
+    bbox sweep + superblock search costs ~100 ms at 1e6 vs ~360 ms for
+    the full sort+build, and the sticky width/bucket machinery keeps
+    the iteration-program shapes unchanged (no recompile).  The
+    reference rebuilds its whole tree every iteration for the same
+    correctness reason (wvt_relax.c:6, tree.c).
+
+    pos_sorted_gas: (n_gas, 3) CURRENT positions in the state's sorted
+    order.  radius_sym_gas: (n_gas,) world-unit symmetric reach
+    (metric h * boxsize * margin), sorted order.
+    """
+    assert state.sb, "refresh is only wired for the superblock engine"
+    bi = state.index
+    nb = bi.n_blocks
+    n_gas = pos_sorted_gas.shape[0]
+    pad = bi.n_padded - n_gas
+    if pad:
+        pos_pad = jnp.concatenate(
+            [pos_sorted_gas,
+             jnp.broadcast_to(pos_sorted_gas[-1:], (pad, 3))])
+    else:
+        pos_pad = pos_sorted_gas
+    bb_lo, bb_hi, sb_lo, sb_hi = _refresh_bboxes(pos_pad, nb,
+                                                 float(boxsize))
+    bi2 = bi._replace(bb_lo=bb_lo, bb_hi=bb_hi, sb_lo=sb_lo,
+                      sb_hi=sb_hi)
+    radius = state.h_cap.reshape(nb, blk.BLOCK).max(axis=1)
+    sym_pad = jnp.concatenate(
+        [radius_sym_gas, jnp.zeros((pad,), jnp.float32)]) if pad \
+        else radius_sym_gas
+    radius_sym = sym_pad.reshape(nb, blk.BLOCK).max(axis=1)
+    key = ("sball", False, True)
+    cand = _sb_candidates(bi2, key, radius, radius_sym, boxsize)
+    cand, buckets = _trim_and_buckets(cand)
+    return state._replace(index=bi2, cand=cand,
+                          max_cand=cand.idx.shape[1], buckets=buckets)
 
 
 def build_neighbours(pos_gas, h_cap_gas, boxsize, *, max_cand=None,

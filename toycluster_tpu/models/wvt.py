@@ -542,10 +542,38 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         # and walks it twice, wvt_relax.c:66-171); the structure is
         # reused across REBUILD_EVERY iterations
         if its_since_build >= REBUILD_EVERY or (
-                drift_acc > drift_budget) or (
                 state is not None and state.tail is not None):
             state = None
             pending = None
+        elif drift_acc > drift_budget and state is not None:
+            # accumulated drift spent the candidate lists' slack: the
+            # sort/membership stays valid (the skip bits and prologue
+            # bboxes track current positions anyway) — refresh ONLY
+            # the candidate lists, at ~1/4 the full-build cost and
+            # with unchanged program shapes.  Outlier lanes trip this
+            # every ~2 iterations at 1e6.
+            if state.sb and engine == "pallas" and rho_model_l is not None:
+                hm_w = (_metric_hsml(rho_model_l, mpart, desnngb)
+                        * boxsize * _SYM_MARGIN)
+                state = sph_mod.refresh_candidates(
+                    state, pos_gas, hm_w, boxsize)
+                b_ids, b_widths = state.buckets
+                class_shape = ("bits",) + tuple(
+                    (ids.shape[0], w)
+                    for ids, w in zip(b_ids, b_widths))
+                class_ids = b_ids
+                iter_fn = _get_iter_fn(
+                    class_shape, n_gas, state.index.n_padded,
+                    float(mpart), float(boxsize), desnngb,
+                    cfg.sph_kernel, cool_core, engine,
+                    tail_shape=None, beta=beta_u)
+                drift_acc = 0.0
+                pending = None
+                log("wvt_refresh", it=it, max_cand=state.max_cand,
+                    classes=class_shape)
+            else:
+                state = None
+                pending = None
 
         grow_mask = None   # per-particle: only saturated lanes get the
         #                    grown cap, so windows stay tight
