@@ -311,7 +311,8 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             # re-test each member block against CURRENT positions every
             # iteration (median per-iteration drift is 1-10% of h, so
             # build-time pruning would need ruinous margins).
-            from ..ops.pallas_pair import (stream_skip_bits,
+            from ..ops.pallas_pair import (compact_sb_lists,
+                                           stream_skip_bits,
                                            stream_wvt_pallas)
             src_blocks = jnp.concatenate([pos_t, hm_blocks], axis=1)
             cnt_all = jnp.minimum(count, cand_idx.shape[1])
@@ -327,11 +328,16 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                 cand_idx, cap_b, hm_b, float(boxsize), sb=True,
                 bucket_ids=(tuple(class_ids) if class_shape else None),
                 bucket_widths=bucket_widths)
+            # compact each row's list to the superblocks the kernel
+            # will actually touch (the bits already encode this): ~40%
+            # of streamed member blocks were pure visit overhead
+            cand_it, pos_it, cnt_it = compact_sb_lists(
+                cand_idx, cnt_all, bits, do_disp=True)
             rho, h, vf, wk, done, delta = stream_wvt_pallas(
-                src_blocks, cand_idx, cnt_all, pos_t, h0_b, cap_b, hm_b,
+                src_blocks, cand_it, cnt_it, pos_t, h0_b, cap_b, hm_b,
                 float(mpart), float(boxsize),
                 kernel=kernel, desnngb=desnngb, sb_mode=True, bits=bits,
-                safe=safe)
+                safe=safe, cand_pos=pos_it)
             outs = [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
                     wk.reshape(-1), done.reshape(-1).astype(jnp.float32),
                     delta.reshape(-1, 3)]

@@ -50,6 +50,46 @@ class BlockIndex(NamedTuple):
         return self.pos.shape[0]
 
 
+_KD_REFINE = bool(int(__import__("os").environ.get(
+    "TOYCLUSTER_KD_REFINE", "1")))
+
+
+def _kd_refine_segments(spos, order, nseg):
+    """Re-partition each SUPER*BLOCK Hilbert segment into compact
+    blocks by recursive median splits on the widest axis.
+
+    Hilbert-slice blocks have bbox aspect ~1.9 (p50) — the elongation
+    inflates the block-gap cushion of every per-iteration skip test, so
+    the stream kernel computes ~27% more (B,B) tiles than compact
+    blocks would (measured at 1e6: density-kept member blocks p50 80
+    vs 58 under a kd ordering).  Candidates are superblock-granular, so
+    refining WITHIN each 1024-particle segment keeps the candidate
+    lists identical while shrinking member-block bboxes; the splits
+    never cross a segment, so the sort-adoption contract (padding is a
+    strict suffix) survives.  Segments are Hilbert-contiguous and never
+    straddle the periodic wrap."""
+    m0 = SUPER * BLOCK
+    seg = spos[:nseg * m0].reshape(nseg, m0, 3)
+    idx = order[:nseg * m0].reshape(nseg, m0)
+    m = m0
+    while m > BLOCK:
+        v = seg.reshape(-1, m, 3)
+        i = idx.reshape(-1, m)
+        ext = v.max(axis=1) - v.min(axis=1)
+        ax = jnp.argmax(ext, axis=1)
+        key = jnp.where((ax == 0)[:, None], v[:, :, 0],
+                        jnp.where((ax == 1)[:, None], v[:, :, 1],
+                                  v[:, :, 2]))
+        _, x, y, z, i = jax.lax.sort(
+            (key, v[:, :, 0], v[:, :, 1], v[:, :, 2], i),
+            dimension=1, num_keys=1)
+        seg = jnp.stack([x, y, z], axis=2).reshape(nseg, m0, 3)
+        idx = i.reshape(nseg, m0)
+        m //= 2
+    return (jnp.concatenate([seg.reshape(-1, 3), spos[nseg * m0:]]),
+            jnp.concatenate([idx.reshape(-1), order[nseg * m0:]]))
+
+
 def build_blocks(pos, boxsize, order=None) -> BlockIndex:
     """Sort positions along the Hilbert curve and build block/superblock
     bounding boxes.  Padding repeats the last particle (masked out of all
@@ -60,6 +100,10 @@ def build_blocks(pos, boxsize, order=None) -> BlockIndex:
     if order is None:
         order = hilbert_order(pos, boxsize)
     spos = pos[order]
+    if _KD_REFINE:
+        nseg = n // (SUPER * BLOCK)
+        if nseg > 0:
+            spos, order = _kd_refine_segments(spos, order, nseg)
 
     nb = -(-n // BLOCK)
     p = nb * BLOCK

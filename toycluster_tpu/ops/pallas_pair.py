@@ -1053,6 +1053,44 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     return out, safe
 
 
+def compact_sb_lists(cand, cnt, bits, *, do_disp=True):
+    """Per-iteration superblock-list compaction from the skip bits.
+
+    The stream kernel pays ~60-100 cycles of bits-decode/branch/DMA-wait
+    per VISITED member block whether or not its tile runs; at 1e6 the
+    p50 row streams 224 member blocks but computes only ~81.  Reorder
+    each row's superblock list so the superblocks with at least one
+    useful member come FIRST (stable sort keeps the distance order) and
+    shrink the dynamic trip count to just those — the kernel maps
+    compacted slots back to their original skip-bit positions through
+    `pos_it`.  No shapes change, so no recompiles.
+
+    A superblock is useless iff every member's 2-bit field is 1
+    (dens-skip, no disp-keep): its 16-bit half-word equals 0x5555.
+    Density-only callers test just the dens bits (& 0x5555 == 0x5555).
+
+    Returns (cand_it, pos_it, cnt_it).
+    """
+    S, M = cand.shape
+    w = bits
+    if do_disp:
+        lo_use = (w & 0xFFFF) != 0x5555
+        hi_use = jax.lax.shift_right_logical(w, 16) != 0x5555
+    else:
+        lo_use = (w & 0x5555) != 0x5555
+        hi_use = (jax.lax.shift_right_logical(w, 16) & 0x5555) != 0x5555
+    sb_useful = jnp.stack([lo_use, hi_use], axis=2).reshape(S, -1)[:, :M]
+    in_list = (jnp.arange(M, dtype=jnp.int32)[None, :]
+               < jnp.minimum(cnt, M)[:, None])
+    keep = sb_useful & in_list & (cand >= 0)
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (S, M))
+    _, cand_it, pos_it = jax.lax.sort(
+        ((~keep).astype(jnp.int32), cand.astype(jnp.int32), pos),
+        dimension=1, is_stable=True, num_keys=1)
+    cnt_it = keep.sum(axis=1).astype(jnp.int32)
+    return cand_it, pos_it, cnt_it
+
+
 def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                    sb_nb, do_disp,
                    cand_ref,                 # (S, M) scalar prefetch
@@ -1060,6 +1098,8 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                    bits_ref,                 # (S, ceil(Mb/16)) packed skip
                    cen_ref,                  # (S, 4) quantized row centre
                    #                           + hoisted-wrap safe flag
+                   pos_ref,                  # (S, M) original list slot of
+                   #                           each (compacted) cand slot
                    *rest):
     # rest: 6 receiver columns (1,B,1) [x0,x1,x2,h0,cap,hm_i],
     #       src_ref (nb, 4, B) in ANY (rows 0-2 coords, row 3 source hm),
@@ -1097,7 +1137,10 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             sem.at[slot * _FAN + f])
 
     def bits(g, f):
-        idx = g * _FAN + f
+        # pos_ref maps the (possibly compacted) cand slot back to its
+        # original list position — the skip bits stay full-width
+        idx = (pos_ref[s, g] * _FAN + f if sb_nb
+               else pos_ref[s, g * _FAN + f])
         word = bits_ref[s, idx >> 4]
         return (word >> (2 * (idx & 15))) & 3
 
@@ -1402,7 +1445,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
                       mpart, boxsize, gdist=None, dkeep=None, *,
                       kernel="wc6", desnngb=295, n_sweeps=16,
                       interpret=False, sb_mode=False, do_disp=True,
-                      bits=None, safe=None):
+                      bits=None, safe=None, cand_pos=None):
     """v3 dynamic-streaming density solve + WVT displacement.
 
     src_blocks: (nb, 4, B) sorted sources — rows 0-2 coords (world), row
@@ -1431,6 +1474,9 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
         pad = mult - M % mult
         cand = jnp.concatenate(
             [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
+        if cand_pos is not None:
+            cand_pos = jnp.concatenate(
+                [cand_pos, jnp.zeros((S, pad), jnp.int32)], axis=1)
         if gdist is not None:
             gdist = jnp.concatenate(
                 [gdist, jnp.full((S, pad * (_FAN if sb_mode else 1)),
@@ -1484,13 +1530,18 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
                    float(boxsize), n_sweeps, nb if sb_mode else 0,
                    do_disp)
 
-    def imap_s(s, cand_ref, cnt_ref, bits_ref, cen_ref):
+    def imap_s(s, cand_ref, cnt_ref, bits_ref, cen_ref, pos_ref):
         return (s, 0, 0)
 
-    sc = _row_chunks(S, M + nw)
+    if cand_pos is None:
+        cand_pos = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32), (S, M))
+    sc = _row_chunks(S, 2 * M + nw)
     nchunk = -(-S // sc)
     s_pad = nchunk * sc
     cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
+        nchunk, sc, M)
+    pos_c = _pad_rows(cand_pos.astype(jnp.int32), s_pad).reshape(
         nchunk, sc, M)
     # clamp counts to the list width: rows truncated at build time
     # (_SB_WIDTH_CAP nearest-superblock lists) report their TRUE hit
@@ -1523,7 +1574,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
               for r in recvs]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(sc,),
         in_specs=(
             [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(6)]
@@ -1560,7 +1611,8 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
         return o
 
     out = jax.lax.map(run_chunk,
-                      tuple([cand_c, cnt_c, bits_c, cen_c] + recv_c))
+                      tuple([cand_c, cnt_c, bits_c, cen_c, pos_c]
+                            + recv_c))
     out = out.reshape(-1, BLOCK, 8)[:S]
     rho, h, vf, wk, done_f = (out[:, :, k] for k in range(5))
     # density-only callers never read delta; at 1e8 the extra (S, B, 3)
