@@ -141,6 +141,63 @@ def test_sharded_stream_engine_matches_xla(small_scene):
 
 @pytest.mark.skipif(jax.device_count() < 2,
                     reason="needs multiple (virtual) devices")
+def test_ring_halo_matches_gather(small_scene):
+    """The ppermute ring halo exchange (O(N/D + boundary) per-chip
+    source memory) must reproduce the all_gather source layout
+    bit-for-bit: the kernel sees the same source superblocks, just
+    relocated through the boundary buffer's slot map."""
+    cfg, scene, ha, parts = small_scene
+    ndev = min(8, jax.device_count())
+    mesh = make_mesh(ndev)
+    pos, n_real = wvt_shard.pad_for_mesh(parts.pos[:parts.n_gas], ndev)
+    pos = wvt_shard.shard_array(mesh, pos)
+    hsml = wvt_shard.shard_array(
+        mesh, jnp.zeros((pos.shape[0],), jnp.float32))
+
+    outs = {}
+    for halo in ("gather", "ring"):
+        step_fn = wvt_shard.sharded_wvt_iteration(
+            mesh, ha, n_real=n_real, boxsize=scene.boxsize,
+            mpart=scene.mpart_gas, desnngb=cfg.desnngb,
+            kernel=cfg.sph_kernel, max_cand=64,
+            engine="stream_interpret", halo=halo)
+        outs[halo] = step_fn(pos, hsml, 0.035)
+        assert int(outs[halo].cand_overflow) <= 0
+    a, b = outs["gather"], outs["ring"]
+    np.testing.assert_array_equal(np.asarray(a.rho[:n_real]),
+                                  np.asarray(b.rho[:n_real]))
+    np.testing.assert_array_equal(np.asarray(a.hsml[:n_real]),
+                                  np.asarray(b.hsml[:n_real]))
+    np.testing.assert_array_equal(np.asarray(a.pos[:n_real]),
+                                  np.asarray(b.pos[:n_real]))
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_ring_halo_overflow_is_reported(small_scene):
+    """An undersized boundary buffer must be REPORTED via cand_overflow
+    (the static-shape convention: report, never retry or silently
+    truncate into wrong shapes)."""
+    cfg, scene, ha, parts = small_scene
+    ndev = min(8, jax.device_count())
+    mesh = make_mesh(ndev)
+    pos, n_real = wvt_shard.pad_for_mesh(parts.pos[:parts.n_gas], ndev)
+    pos = wvt_shard.shard_array(mesh, pos)
+    hsml = wvt_shard.shard_array(
+        mesh, jnp.zeros((pos.shape[0],), jnp.float32))
+    step_fn = wvt_shard.sharded_wvt_iteration(
+        mesh, ha, n_real=n_real, boxsize=scene.boxsize,
+        mpart=scene.mpart_gas, desnngb=cfg.desnngb,
+        kernel=cfg.sph_kernel, max_cand=64,
+        engine="stream_interpret", halo="ring", max_remote_sb=1)
+    out = step_fn(pos, hsml, 0.035)
+    # at this N every shard needs most other shards' superblocks; a
+    # 1-superblock buffer cannot hold them
+    assert int(out.cand_overflow) > 0
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
 def test_regularise_sharded_converges(small_scene):
     """The full multi-chip relaxation loop drives the density error down
     (the reference's convergence oracle, wvt_relax.c:91-92)."""

@@ -17,9 +17,25 @@ memory:
 * `pmax`      — max density error and candidate-overflow indicator.
 
 Receiver-side arrays (h0/cap rows, candidate lists, accumulators) stay
-shard-local; only O(N) source data is replicated per chip, which holds to
-~1e8 particles in 16 GB HBM (1e8 f32 pos = 1.2 GB).  A ppermute ring
-exchange that bounds memory at O(N/D) is the documented growth path.
+shard-local.  Source-side memory is bounded by the halo mode:
+
+* `halo='ring'` (stream engine default) — only per-block METADATA is
+  all-gathered (bbox lo/hi + max source hm + search radius: 32 B per
+  128-particle block, i.e. 25 MB at 1e8).  The O(N/D) source shards
+  are then rotated around the ring once per iteration with
+  `ppermute`; each pass keeps just the visiting superblocks that some
+  local receiver's candidate list needs, packed into a static
+  O(boundary) buffer.  Peak per-chip source bytes are
+  O(N/D + max_remote_sb) instead of O(N): at 1e8 over 8 chips the
+  gather path replicates 2.0 GB of sources per chip, the ring holds
+  2 x 200 MB rotation buffers + the boundary buffer (200 MB at the
+  default max_remote_sb = nsl) + 25 MB metadata.  Buffer overflow is
+  *reported* via `cand_overflow` (the dump-slot sources stay hm=0,
+  i.e. inert), never silently wrong-shaped — same convention as the
+  candidate-list width.
+* `halo='gather'` (XLA path, and available for the stream engine) —
+  source positions + metric hsml are replicated per chip via
+  `all_gather`, the analogue of the shared `P[]` array (tree.c:25-111).
 
 Static-shape notes (SPMD has no host retry loop): the candidate list
 width `max_cand` is fixed per compile; overflow is *reported* (pmax'd
@@ -105,7 +121,8 @@ def _local_candidates(lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize,
 def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
                           boxsize: float, mpart: float, desnngb: int,
                           kernel: str = "wc6", max_cand: int = 256,
-                          cool_core=None, engine: str = "auto"):
+                          cool_core=None, engine: str = "auto",
+                          halo: str = "auto", max_remote_sb=None):
     """Build the jittable sharded iteration.
 
     Returns `step_fn(pos, hsml_prev, step) -> ShardStepResult` operating on
@@ -118,6 +135,12 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
     'stream' forces the stream kernel; 'stream_interpret' runs the
     stream kernel through the Pallas interpreter (CPU-mesh equivalence
     tests).
+
+    `halo`: 'ring' bounds per-chip source memory at O(N/D + boundary)
+    (stream engine only — see the module docstring); 'gather'
+    replicates sources per chip; 'auto' picks 'ring' for the stream
+    engine.  `max_remote_sb` sizes the ring's boundary buffer in
+    superblocks (default: one shard's worth, nsl).
     """
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
@@ -126,6 +149,10 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
                   else "xla")
     interpret = engine == "stream_interpret"
     use_stream = engine in ("stream", "stream_interpret")
+    if halo == "auto":
+        halo = "ring" if use_stream else "gather"
+    if halo == "ring" and not use_stream:
+        raise ValueError("halo='ring' requires the stream engine")
 
     def body(pos_l, hprev_l, valid_l, step):
         nbl = pos_l.shape[0] // BLOCK
@@ -152,14 +179,6 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         rad_part = jnp.maximum(cap_l, hm_l * boxsize)
         rad_l = rad_part.reshape(nbl, BLOCK).max(axis=1)
 
-        # gather the source side over ICI
-        pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
-        valid_all = jax.lax.all_gather(valid_l, axis, tiled=True)
-        hm_all = jax.lax.all_gather(hm_l, axis, tiled=True)
-        lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
-        hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
-        rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
-
         rec_ids = (ax.astype(jnp.int32) * nbl
                    + jnp.arange(nbl, dtype=jnp.int32))
         cap_b = cap_l.reshape(nbl, BLOCK)
@@ -169,17 +188,23 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         if use_stream:
             # the PRODUCTION Pallas stream engine, shard-local: identical
             # structures to the single-chip path (wvt._get_iter_fn pallas
-            # branch) with the all-gathered global source array standing
-            # in for the local one.  Candidate lists are superblock-
-            # granular (level-1 bboxes reduced over _FAN member blocks);
-            # the skip bits re-test each member block vs CURRENT
-            # positions inside the shard.
-            nb_all = pos_all.shape[0] // BLOCK
-            hm_src_all = jnp.where(valid_all, hm_all, 0.0)
-            src = jnp.concatenate(
-                [pos_all.reshape(nb_all, BLOCK, 3).transpose(0, 2, 1),
-                 hm_src_all.reshape(nb_all, 1, BLOCK)], axis=1)
-            bhm_all = hm_src_all.reshape(nb_all, BLOCK).max(axis=1)
+            # branch) with a combined [local | halo] source array
+            # standing in for the local one.  Candidate lists are
+            # superblock-granular (level-1 bboxes reduced over _FAN
+            # member blocks); the skip bits re-test each member block vs
+            # CURRENT positions inside the shard.
+            nb_all = n_dev * nbl
+            hm_src_l = jnp.where(valid_l, hm_l, 0.0)
+            src_l = jnp.concatenate(
+                [pos_l.reshape(nbl, BLOCK, 3).transpose(0, 2, 1),
+                 hm_src_l.reshape(nbl, 1, BLOCK)], axis=1)
+            bhm_l = hm_src_l.reshape(nbl, BLOCK).max(axis=1)
+            # per-BLOCK metadata rides a cheap all_gather in both halo
+            # modes: 32 B per 128 particles (25 MB at 1e8)
+            lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
+            hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
+            rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
+            bhm_all = jax.lax.all_gather(bhm_l, axis, tiled=True)
             ns = nb_all // _FAN
             sb_lo = lo_all.reshape(ns, _FAN, 3).min(axis=1)
             sb_hi = hi_all.reshape(ns, _FAN, 3).max(axis=1)
@@ -187,14 +212,72 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
             m_sb = min(max(16, max_cand // 4), ns)
             cand_sb, overflow = _local_candidates(
                 lo_l, hi_l, rad_l, sb_lo, sb_hi, sb_rad, boxsize, m_sb)
-            overflow = jax.lax.pmax(overflow, axis)
             cnt = (cand_sb >= 0).sum(axis=1).astype(jnp.int32)
+            # skip bits address candidate LIST SLOTS, so they are
+            # computed against the global metadata regardless of where
+            # the source blocks physically live after the exchange
             bits, safe = stream_skip_bits(
                 lo_all, hi_all, bhm_all, rec_ids, cand_sb, cap_b, hm_b,
                 float(boxsize), sb=True)
+
+            if halo == "ring":
+                nsl = nbl // _FAN    # local superblocks (shard-aligned
+                #                      by pad_for_mesh)
+                src_sb = src_l.reshape(nsl, _FAN, 4, BLOCK)
+                # default boundary buffer: one shard's worth (generous —
+                # the Hilbert boundary is a surface), floored for tiny
+                # meshes and never larger than all remote superblocks
+                R = (int(max_remote_sb) if max_remote_sb
+                     else min(max(nsl, 256), max(ns - nsl, 1)))
+                # which global superblocks some local receiver needs
+                need = jnp.zeros((ns,), bool).at[
+                    jnp.where(cand_sb >= 0, cand_sb, ns)
+                ].set(True, mode="drop")
+                # slot R of the halo buffer is the overflow dump: it
+                # stays all-zero (hm=0 sources are inert in the kernel)
+                buf = jnp.zeros((R + 1, _FAN, 4, BLOCK), src_l.dtype)
+                slot_map = jax.lax.dynamic_update_slice(
+                    jnp.full((ns,), -1, jnp.int32),
+                    jnp.arange(nsl, dtype=jnp.int32),
+                    (ax.astype(jnp.int32) * nsl,))
+                perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+                visiting = src_sb
+                off = jnp.int32(0)
+                for k in range(1, n_dev):
+                    visiting = jax.lax.ppermute(visiting, axis, perm)
+                    owner = jnp.mod(ax.astype(jnp.int32) - k, n_dev)
+                    want = jax.lax.dynamic_slice(
+                        need, (owner * nsl,), (nsl,))
+                    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+                    slots = jnp.where(want, off + rank, jnp.int32(2**30))
+                    buf = buf.at[
+                        jnp.where(slots < R, slots, jnp.int32(2**30))
+                    ].set(visiting, mode="drop")
+                    slot_map = jax.lax.dynamic_update_slice(
+                        slot_map,
+                        jnp.where(want, nsl + jnp.minimum(slots, R),
+                                  jnp.int32(-1)),
+                        (owner * nsl,))
+                    off = off + want.sum(dtype=jnp.int32)
+                overflow = jnp.maximum(overflow, off - R)
+                src = jnp.concatenate([src_sb, buf], axis=0).reshape(
+                    -1, 4, BLOCK)
+                cand_k = jnp.where(
+                    cand_sb >= 0,
+                    slot_map[jnp.clip(cand_sb, 0, ns - 1)], -1)
+            else:
+                pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
+                hm_src_all = jax.lax.all_gather(hm_src_l, axis,
+                                                tiled=True)
+                src = jnp.concatenate(
+                    [pos_all.reshape(nb_all, BLOCK, 3).transpose(
+                        0, 2, 1),
+                     hm_src_all.reshape(nb_all, 1, BLOCK)], axis=1)
+                cand_k = cand_sb
+            overflow = jax.lax.pmax(overflow, axis)
             xi = pos_l.reshape(nbl, BLOCK, 3).transpose(0, 2, 1)
             rho_b, h_b, _vf, _wk, done_b, delta_b = stream_wvt_pallas(
-                src, cand_sb, cnt, xi, h0_b, cap_b, hm_b, float(mpart),
+                src, cand_k, cnt, xi, h0_b, cap_b, hm_b, float(mpart),
                 float(boxsize), kernel=kernel, desnngb=desnngb,
                 sb_mode=True, bits=bits, safe=safe, interpret=interpret)
             rho_r = rho_b.reshape(-1)
@@ -205,6 +288,12 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
             # the single-chip loop)
             delta = delta_b.reshape(-1, 3) * step
         else:
+            pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
+            valid_all = jax.lax.all_gather(valid_l, axis, tiled=True)
+            hm_all = jax.lax.all_gather(hm_l, axis, tiled=True)
+            lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
+            hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
+            rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
             cand, overflow = _local_candidates(
                 lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize,
                 max_cand)
@@ -257,8 +346,8 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
             f"N={n} must be a multiple of BLOCK*n_devices="
             f"{BLOCK * n_dev}; pad with pad_for_mesh()")
         if use_stream:
-            assert (n // BLOCK) % _FAN == 0, (
-                f"stream engine needs the global block count divisible "
+            assert (n // (BLOCK * n_dev)) % _FAN == 0, (
+                f"stream engine needs each shard's block count divisible "
                 f"by _FAN={_FAN}; pad with pad_for_mesh()")
         order = hilbert_order(pos, boxsize)
         pos_s = pos[order]
@@ -279,12 +368,13 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
 
 def pad_for_mesh(pos, n_dev):
     """Pad (N,3) positions (repeating the last particle) up to a multiple
-    of BLOCK * lcm(n_dev, _FAN) — shard-divisible AND superblock-aligned
-    (the stream engine groups _FAN consecutive global blocks);
-    returns (padded_pos, n_real)."""
-    import math
+    of BLOCK * _FAN * n_dev — shard-divisible AND per-shard
+    superblock-aligned (the stream engine groups _FAN consecutive blocks
+    into superblocks that must not straddle a shard boundary, so the
+    ring exchange can move whole superblocks); returns
+    (padded_pos, n_real)."""
     n = pos.shape[0]
-    q = BLOCK * math.lcm(n_dev, _FAN)
+    q = BLOCK * _FAN * n_dev
     n_pad = -(-n // q) * q
     if n_pad > n:
         pos = jnp.concatenate(
@@ -301,7 +391,8 @@ def shard_array(mesh, x):
 def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
                        kernel="wc6", max_cand=256, step=0.0085,
                        max_iter=64, err_diff_limit=0.01, cool_core=None,
-                       log=None, engine="auto"):
+                       log=None, engine="auto", halo="auto",
+                       max_remote_sb=None):
     """Full multi-chip WVT relaxation loop: the sharded iteration under the
     reference's host-side early-stop / step-shrink control flow
     (wvt_relax.c:94-101)."""
@@ -313,7 +404,8 @@ def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
     step_fn = sharded_wvt_iteration(
         mesh, ha, n_real=n_real, boxsize=boxsize, mpart=mpart,
         desnngb=desnngb, kernel=kernel, max_cand=max_cand,
-        cool_core=cool_core, engine=engine)
+        cool_core=cool_core, engine=engine, halo=halo,
+        max_remote_sb=max_remote_sb)
 
     err_last = math.inf
     err_diff_last = math.inf
