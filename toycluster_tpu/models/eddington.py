@@ -62,29 +62,30 @@ def _exact_eddington_integral(psi_knots, m2, E_values):
     """Exact int_0^E rho''(psi)/sqrt(E-psi) dpsi for each E, where rho'' is
     the piecewise-linear second derivative of the rho(psi) spline.
 
-    On segment [x0,x1] with rho'' = c0 + c1 psi the antiderivative in
-    s = E - psi is G(s) = 2 (c0 + c1 E) sqrt(s) - (2/3) c1 s^(3/2); the
-    segment contributes G(E-a) - G(E-b) with b clamped to E.
+    On segment [x_k, x_{k+1}] with rho'' = c0_k + c1_k psi the
+    antiderivative in s = E - psi is
+    G_k(s) = 2 (c0_k + c1_k E) sqrt(s) - (2/3) c1_k s^(3/2), and the
+    per-segment telescoping sum sum_k [G_k(E-x_k) - G_k(E-min(x_{k+1},E))]
+    collapses at the knots: continuity of rho''
+    (c0_k + c1_k x_k = m2_k = c0_{k-1} + c1_{k-1} x_k) reduces each
+    interior-knot term [G_k - G_{k-1}](E - x_k) to
+    (4/3) (c1_k - c1_{k-1}) (E - x_k)^{3/2}, so
+
+        I(E) = 2 m2_0 sqrt((E-x_0)_+)
+             + (4/3) sum_k d_k ((E-x_k)_+)^{3/2},
+        d_0 = c1_0,  d_k = c1_k - c1_{k-1}
+
+    — knots above E drop out through the clamp, so the whole (M, K)
+    evaluation is one clamped power and a matvec (the naive per-segment
+    form materialised ~15 (M, K) float64 temporaries and dominated the
+    per-halo table build at ~2 s on one host core).
     """
     x = psi_knots
-    x0 = x[:-1][None, :]                      # (1, K-1)
-    x1 = x[1:][None, :]
-    h = x1 - x0
-    c1 = (m2[1:] - m2[:-1])[None, :] / h
-    c0 = m2[:-1][None, :] - c1 * x0
-
-    E = E_values[:, None]                     # (M, 1)
-    b = np.minimum(x1, E)
-    valid = b > x0
-    s_a = np.maximum(E - x0, 0.0)
-    s_b = np.maximum(E - b, 0.0)
-
-    def G(s):
-        sq = np.sqrt(s)
-        return 2.0 * (c0 + c1 * E) * sq - (2.0 / 3.0) * c1 * s * sq
-
-    contrib = np.where(valid, G(s_a) - G(s_b), 0.0)
-    return contrib.sum(axis=1)
+    c1 = np.diff(m2) / np.diff(x)                      # (K-1,)
+    d = np.concatenate([c1[:1], np.diff(c1)])          # (K-1,)
+    s = np.maximum(E_values[:, None] - x[None, :-1], 0.0)
+    return (2.0 * m2[0] * np.sqrt(np.maximum(E_values - x[0], 0.0))
+            + (4.0 / 3.0) * ((s * np.sqrt(s)) @ d))
 
 
 def build_distribution_function(*, mass_dm, a_hernq, G,

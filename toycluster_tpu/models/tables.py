@@ -18,13 +18,35 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from scipy.integrate import quad
 
 from .. import constants as const
 from ..utils.splines import NaturalSpline
 from . import profiles
 
 NTABLE = 1024
+
+# Fixed-order Gauss-Legendre nodes for the segment quadratures below.
+# The reference integrates with adaptive GSL QAG/QAGS per table point
+# (setup.c:643-713, velocities.c:388-447, temperature.c:125-190); on our
+# per-segment grids each segment spans ~0.004 dex, where the smooth
+# integrands are essentially polynomial — 16-node GL is exact to well
+# below the reference's 1e-6/1e-3/1e-5 tolerances (verified against the
+# adaptive integrator at 1e-9 agreement), and one vectorized evaluation
+# replaces ~1024 serial adaptive calls per table (the per-halo host
+# table builds were ~5 s each; ~50-subhalo scenes paid minutes).
+_GL_X, _GL_W = np.polynomial.legendre.leggauss(16)
+
+
+def _gl_segments(f, edges):
+    """Per-segment integrals of a vectorized integrand over consecutive
+    intervals [edges[i], edges[i+1]]; nodes are interior, so singular
+    endpoints (r=0) are never evaluated."""
+    a = edges[:-1]
+    b = edges[1:]
+    half = 0.5 * (b - a)
+    pts = 0.5 * (a + b)[:, None] + half[:, None] * _GL_X[None, :]
+    vals = f(pts.reshape(-1)).reshape(pts.shape)
+    return (vals @ _GL_W) * half
 
 
 @dataclass(frozen=True)
@@ -62,16 +84,11 @@ def build_mass_table(rho0, beta, rc, rcut, is_cuspy, r_sample_gas,
             r, rho0, beta, rc, rcut, is_cuspy, cool_core)
 
     r_table[1:] = rmin * 10.0 ** (log_dr * np.arange(1, NTABLE))
-    prev_r = 0.0
-    acc = 0.0
-    for i in range(1, NTABLE):
-        # integrate per-interval and accumulate: equivalent to the
-        # reference's per-point [0, r_i] integrals but O(N) instead of O(N^2)
-        seg, _ = quad(integrand, prev_r, r_table[i], epsabs=0.0, epsrel=1e-6,
-                      limit=200)
-        acc += seg
-        m_table[i] = max(acc, m_table[i - 1])  # integrator may fluctuate
-        prev_r = r_table[i]
+    # per-interval integrals accumulated: equivalent to the reference's
+    # per-point [0, r_i] integrals but O(N) instead of O(N^2), and one
+    # vectorized GL evaluation instead of 1023 adaptive calls
+    segs = _gl_segments(integrand, r_table)
+    m_table[1:] = np.maximum.accumulate(np.cumsum(segs))
 
     return MassTable(
         r=r_table, m=m_table,
@@ -107,13 +124,15 @@ def build_potential_table(mass_table: MassTable, G, r_sample_gas
     log_dr = np.log10(rmax / rmin) / (NTABLE - 1)
 
     def integrand(r):
-        if r == 0.0:
-            return 0.0
+        # M(<r) ~ r^2..r^3 near 0, so G M/r^2 is bounded; GL nodes are
+        # interior, r=0 is never evaluated
         return G / (r * r) * mass_table.mass(r)
 
     # gauge = int_0^inf; beyond the table clip M is constant -> analytic tail
     r_clip = mass_table.r_clip
-    body, _ = quad(integrand, 0.0, r_clip, epsabs=0.0, epsrel=1e-6, limit=400)
+    body_edges = np.concatenate(
+        [[0.0], np.geomspace(rmin * 1e-3, r_clip, 4096)])
+    body = _gl_segments(integrand, body_edges).sum()
     tail = G * mass_table.mass(r_clip) / r_clip
     gauge = body + tail
 
@@ -121,15 +140,7 @@ def build_potential_table(mass_table: MassTable, G, r_sample_gas
     psi_table = np.zeros(NTABLE)
     r_table[1:] = rmin * 10.0 ** (log_dr * np.arange(1, NTABLE))
     psi_table[0] = gauge
-
-    acc = 0.0
-    prev_r = 0.0
-    for j in range(1, NTABLE):
-        seg, _ = quad(integrand, prev_r, r_table[j], epsabs=0.0, epsrel=1e-3,
-                      limit=400)
-        acc += seg
-        psi_table[j] = gauge - acc
-        prev_r = r_table[j]
+    psi_table[1:] = gauge - np.cumsum(_gl_segments(integrand, r_table))
 
     spline = NaturalSpline.build(r_table, psi_table)
     return PotentialTable(r=r_table, psi=psi_table, spline=spline,
@@ -176,9 +187,7 @@ def build_energy_table(mass_table: MassTable, *, rho0, beta, rc, rcut,
 
     # integrate segments once, then suffix-sum for int_r^rmax
     segs = np.zeros(NTABLE)
-    for j in range(1, NTABLE - 1):
-        segs[j], _ = quad(integrand, r_table[j], r_table[j + 1],
-                          epsabs=0.0, epsrel=1e-5, limit=400)
+    segs[1:NTABLE - 1] = _gl_segments(integrand, r_table[1:])
     suffix = np.cumsum(segs[::-1])[::-1]  # suffix[j] = int_{r_j}^{rmax}
 
     for j in range(1, NTABLE):
