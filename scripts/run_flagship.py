@@ -102,7 +102,7 @@ def main():
         if os.path.exists(cfg.output_file) else None,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), f"FLAGSHIP_r03_config{IDX}.json")
+        os.path.abspath(__file__))), f"FLAGSHIP_r04_config{IDX}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

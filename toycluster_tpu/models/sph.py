@@ -32,9 +32,16 @@ _CAP_FACTOR = 1.2      # candidate radius margin over the model-based h0
 _MAX_REBUILDS = 5
 _MS_CAP = 512          # superblock-budget ceiling: rows needing more go
 #                        to the exact superblock-granular tail path
-_SB_WIDTH_CAP = 1536   # superblock-list width ceiling (memory guard):
+_SB_WIDTH_CAP = int(os.environ.get("TOYCLUSTER_SB_WIDTH_CAP", "1536"))
+#                        superblock-list width ceiling (memory guard):
 #                        overflowing rows keep their NEAREST superblocks
-#                        (distance-ordered lists — the NGBMAX analogue)
+#                        (distance-ordered lists — the NGBMAX analogue).
+#                        Width-proportional arrays (lists + skip bits +
+#                        bbox gathers) scale as n_blocks * width, so 1e8
+#                        runs on one 16 GB chip set the env override to
+#                        ~256 and absorb the truncation through the
+#                        saturation policy (the reference's NGBMAX=2360
+#                        plays the same role, globals.h:50)
 
 
 def _engine() -> str:

@@ -330,9 +330,16 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                 bucket_widths=bucket_widths)
             # compact each row's list to the superblocks the kernel
             # will actually touch (the bits already encode this): ~40%
-            # of streamed member blocks were pure visit overhead
-            cand_it, pos_it, cnt_it = compact_sb_lists(
-                cand_idx, cnt_all, bits, do_disp=True)
+            # of streamed member blocks were pure visit overhead.
+            # Budget-gated: the compacted copies (cand_it + pos_it)
+            # double the width-proportional live memory, which 1e8
+            # configs cannot spare (~2 GB at width 320) for a ~2.5%
+            # kernel win — skip compaction above ~600 MB of copies.
+            if cand_idx.shape[0] * cand_idx.shape[1] <= (1 << 27):
+                cand_it, pos_it, cnt_it = compact_sb_lists(
+                    cand_idx, cnt_all, bits, do_disp=True)
+            else:
+                cand_it, pos_it, cnt_it = cand_idx, None, cnt_all
             rho, h, vf, wk, done, delta = stream_wvt_pallas(
                 src_blocks, cand_it, cnt_it, pos_t, h0_b, cap_b, hm_b,
                 float(mpart), float(boxsize),
