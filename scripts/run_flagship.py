@@ -60,7 +60,8 @@ def main():
             flush=True)
 
     t0 = time.perf_counter()
-    scene, parts = make_ics(cfg, log=log, check=True)
+    ckpt = os.environ.get("TOYCLUSTER_WVT_CKPT")  # resume 1e8 runs
+    scene, parts = make_ics(cfg, log=log, check=True, wvt_checkpoint=ckpt)
     jax.block_until_ready(parts.pos)
     wall = time.perf_counter() - t0
 

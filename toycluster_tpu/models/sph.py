@@ -188,7 +188,11 @@ def _sb_candidates(bi, key, radius, radius_sym, boxsize):
     # odd ns truncates its one farthest superblock instead (the
     # distance-ordered NGBMAX-style truncation the callers absorb)
     width_cap = max(2, min(_SB_WIDTH_CAP, ns) & ~1)
-    m_sb = min(_LAST_MAX_CAND.get(key, 192), width_cap)
+    # start width: growing on overflow costs a full recompile + solve
+    # of the iteration program at the new shape (minutes at 1e8 through
+    # the remote compile service) — large runs pre-seed it via env
+    start = int(os.environ.get("TOYCLUSTER_SB_WIDTH_START", "192"))
+    m_sb = min(_LAST_MAX_CAND.get(key, start), width_cap)
     rec = jnp.arange(bi.n_blocks, dtype=jnp.int32)
     while True:
         cand = blk.find_candidates_super(bi, rec, radius, radius_sym,
