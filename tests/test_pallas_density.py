@@ -539,3 +539,64 @@ def test_skip_bits_prune_exact_zeros(setup):
                                  bits=bits_b, safe=safe_b)
     for a, b in zip(base, bucketed):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compacted_lists_are_exact(setup):
+    """Per-iteration superblock-list compaction (compact_sb_lists)
+    reorders each row's streamed list to useful-first and shrinks the
+    trip count; the prefetched slot map keeps the full-width skip bits
+    addressable, so results must be BIT-IDENTICAL to the uncompacted
+    stream — and the compaction must actually drop visits."""
+    from toycluster_tpu.ops.pallas_pair import (compact_sb_lists,
+                                                stream_skip_bits,
+                                                stream_wvt_pallas)
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    h_box = h0s / BOX
+    hm_sorted = jnp.where(bi.valid, h_box, 0.0)
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    src = jnp.concatenate(
+        [pos_t, hm_sorted.reshape(nb, 1, blk.BLOCK)], axis=1)
+    h0_b = h0s.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    hm_b = h_box.reshape(nb, blk.BLOCK)
+
+    radius = cap_b.max(axis=1)
+    rec = jnp.arange(nb, dtype=jnp.int32)
+    cand_sb = blk.find_candidates_super(
+        bi, rec, radius, hm_b.max(axis=1) * BOX, BOX,
+        max_cand=max(4, bi.sb_lo.shape[0]))
+    assert int(cand_sb.overflow) <= 0
+    bhm = hm_sorted.reshape(nb, blk.BLOCK).max(axis=1)
+    bits, safe = stream_skip_bits(
+        bi.bb_lo, bi.bb_hi, bhm, rec, cand_sb.idx, cap_b, hm_b,
+        float(BOX), sb=True)
+    # the tiny fixture has only 2 superblocks, both always in range, so
+    # the real bits reject no WHOLE superblock — force list slot 0 dead
+    # (dens-skip=1, disp-keep=0 for all 8 members: bits 0..15 of word 0
+    # = 0x5555) for every second row.  Both runs share these bits, so
+    # the equivalence below certifies the forced-drop path, and killing
+    # the FIRST slot makes the surviving slot shift — the kernel must
+    # index the full-width bits through the pos_ref slot map.
+    force = (jnp.arange(bits.shape[0]) % 2 == 0) & (cand_sb.count >= 2)
+    w0 = jnp.where(force,
+                   (bits[:, 0] & ~jnp.int32(0xFFFF)) | 0x5555,
+                   bits[:, 0])
+    bits = bits.at[:, 0].set(w0)
+
+    kw = dict(kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+              interpret=True, sb_mode=True, bits=bits, safe=safe)
+    base = stream_wvt_pallas(src, cand_sb.idx, cand_sb.count, pos_t,
+                             h0_b, cap_b, hm_b, 1.0, BOX, **kw)
+
+    cand_it, pos_it, cnt_it = compact_sb_lists(
+        cand_sb.idx, cand_sb.count, bits, do_disp=True)
+    dropped = int(jnp.sum(jnp.minimum(
+        cand_sb.count, cand_sb.idx.shape[1])) - jnp.sum(cnt_it))
+    assert dropped == int(force.sum())
+    compacted = stream_wvt_pallas(src, cand_it, cnt_it, pos_t,
+                                  h0_b, cap_b, hm_b, 1.0, BOX, **kw,
+                                  cand_pos=pos_it)
+    for a, b in zip(base, compacted):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
