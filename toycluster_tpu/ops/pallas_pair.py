@@ -89,6 +89,17 @@ def _m4_w_dw(r, h):
 
 _FAN = 8  # candidate blocks streamed per grid step (amortises step cost)
 
+# speculative-accept safety factor for the stream kernel's h solve: a
+# lane with |wkNgb - DESNNGB| < sqrt(NNGBDEV * DESNNGB / _SPEC_KAPPA)
+# takes its Newton step without paying the confirming density sweep.
+# The Newton contraction is quadratic, |e1| ~= kappa e0^2 / DESNNGB with
+# kappa measured brute-force at 0.4 (cluster.par cusp, DESNNGB=295) and
+# 2.25 worst-case (harsh test cusp, DESNNGB=64); _SPEC_KAPPA=5 keeps
+# accepted lanes within the |wkNgb-DESNNGB| < 0.05 contract with >2x
+# margin in the worst measured geometry.  <=0 disables (A/B escape).
+_SPEC_KAPPA = float(__import__("os").environ.get("TOYCLUSTER_SPEC_KAPPA",
+                                                 "5.0"))
+
 
 def _density_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     sb_nb,                       # >0: superblock mode
@@ -1367,8 +1378,19 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
         def update(state):
             """Newton/bisection h update from the accumulated sums
-            (sph.c:175-195)."""
-            k, h, lo, hi, done = state
+            (sph.c:175-195), with SPECULATIVE ACCEPT: the measured
+            Newton contraction of wkNgb(h) is quadratic (|e0|<4 -> one
+            step lands at |e1|<0.022, brute-force measured on the
+            cluster.par cusp), so a lane whose deviation is already
+            < _SPEC_WIN takes its unclamped in-range Newton step and
+            freezes WITHOUT paying the confirming density sweep — the
+            epilogue first-order-extrapolates its sums over
+            h - h_meas.  The reference always re-measures
+            (sph.c:159-166); the contract |wkNgb-295|<0.05 still holds
+            with >2x margin at the kappa-scaled window (see
+            _SPEC_KAPPA) and is asserted red/green by bench.py on the
+            clean find_sph_quantities pass."""
+            k, h, hm_meas, lo, hi, done = state
             sum_w, sum_rdw = norm_sums(h, acc_ref[:, 0:1],
                                        acc_ref[:, 1:2])
             wk_ngb = const.FOURPITHIRD * h**3 * sum_w
@@ -1385,16 +1407,28 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             h_bis = (0.5 * (lo_n**3 + hi_n**3)) ** (1.0 / 3.0)
             h_new = jnp.where(ngb_dev < 0.5 * desnngb, h * fac, h_bis)
             h_new = jnp.minimum(h_new, cap)
+            spec_win = ((const.NNGBDEV * desnngb / _SPEC_KAPPA) ** 0.5
+                        if _SPEC_KAPPA > 0 else 0.0)
+            spec = ((done < 0.5) & ~now_done & (ngb_dev < spec_win)
+                    & (h * fac < cap))
             freeze = (done > 0.5) | now_done
-            return (k + 1, jnp.where(freeze, h, h_new), lo_n, hi_n,
-                    jnp.where(freeze, 1.0, 0.0).astype(f32))
+            keep = freeze | spec
+            # every pass recomputes the sums at each lane's CURRENT h
+            # (already-accepted lanes included), so the sums always
+            # correspond to this update's input h; only lanes that
+            # continue move to h_new before their next measurement
+            del hm_meas
+            return (k + 1, jnp.where(freeze, h, h_new),
+                    jnp.where(keep, h, h_new), lo_n, hi_n,
+                    jnp.where(keep, 1.0, 0.0).astype(f32))
 
         def newton(state):
             density_pass(state[1])
             return update(state)
 
         def cond(state):
-            k, _, _, _, done = state
+            k = state[0]
+            done = state[5]
             return (k < n_sweeps) & jnp.logical_not(jnp.all(done > 0.5))
 
         h0c = jnp.minimum(h0, cap)
@@ -1404,10 +1438,16 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             union_pass(h0c, 1.0 / h0c)
         else:
             density_pass(h0c)
-        state = update((0, h0c, zero, cap, zero))
-        _, h, _, _, done_f = jax.lax.while_loop(cond, newton, state)
+        state = update((0, h0c, h0c, zero, cap, zero))
+        _, h, h_meas, _, _, done_f = jax.lax.while_loop(cond, newton,
+                                                        state)
         done = done_f > 0.5
-        sum_w, sum_rdw = norm_sums(h, acc_ref[:, 0:1], acc_ref[:, 1:2])
+        # the sums correspond to h_meas (== h except for speculatively
+        # accepted lanes); extrapolate sum_w to h first-order through
+        # d(sum_w)/dh = -(3 sum_w + sum_rdw)/h
+        sum_w, sum_rdw = norm_sums(h_meas, acc_ref[:, 0:1],
+                                   acc_ref[:, 1:2])
+        sum_w = sum_w - (3.0 * sum_w + sum_rdw) / h_meas * (h - h_meas)
 
         wk_ngb = const.FOURPITHIRD * h**3 * sum_w
         rho = mpart * sum_w
