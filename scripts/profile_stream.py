@@ -134,7 +134,8 @@ def main():
         h_sorted = sph_mod._pad_sorted(
             parts.hsml[:n_gas], bi.order, bi.n_padded)[:n_gas]
         out = timed("iter_fn (whole-iteration jit)", lambda: iter_fn(
-            pos_sorted, h_sorted, state.h_cap, state.cand.idx,
+            pos_sorted, h_sorted, jnp.zeros((n_gas,), jnp.float32),
+            state.h_cap, state.cand.idx,
             state.cand.count, b_ids, None, ha, growable,
             jnp.int32(n_gas), jnp.float32(0.0085),
             jnp.float32(1e30), jnp.int32(0)))
