@@ -111,17 +111,22 @@ def _move(pos_gas, delta_box, boxsize):
     return pos - jnp.floor(pos / boxsize) * boxsize
 
 
-def _warm_ratio(h0_model, h0m_prev):
+def _warm_ratio(rho_model, rho_model_prev):
     """Model-ratio warm-start predictor: the converged h tracks the
-    metric base h0_model, so after a WVT move the previous iteration's
-    solved h is corrected by h0_model(new pos)/h0_model(old pos) —
-    measured 8x tighter |wkNgb - DESNNGB| at the sweep-0 measurement
-    (p50 26 -> 3.2 on a 6k m4/50 relaxation), which both cuts Newton
-    sweeps and lets the stream kernel's speculative accept fire on the
-    first pass.  Clipped: pathological lanes (shock fronts of the
-    model field) must not fling the solve outside its bracket."""
-    ratio = jnp.where(h0m_prev > 0, h0_model / jnp.maximum(h0m_prev,
-                                                           1e-30), 1.0)
+    metric base h0_model ∝ rho_model^(-1/3), so after a WVT move the
+    previous iteration's solved h is corrected by
+    (rho_model(old pos)/rho_model(new pos))^(1/3) — measured 8x
+    tighter |wkNgb - DESNNGB| at the sweep-0 measurement (p50 26 ->
+    3.2 on a 6k m4/50 relaxation), which both cuts Newton sweeps and
+    lets the stream kernel's speculative accept fire on the first
+    pass.  Takes the MODEL DENSITIES (the loop already retains the
+    previous iteration's rho_model, so the predictor costs no standing
+    memory at 1e8).  Clipped: pathological lanes must not fling the
+    solve outside its bracket."""
+    ratio = jnp.where(
+        rho_model_prev > 0,
+        (rho_model_prev / jnp.maximum(rho_model, 1e-30)) ** (1.0 / 3.0),
+        1.0)
     return jnp.clip(ratio, 1.0 / 1.5, 1.5)
 
 
@@ -156,13 +161,13 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
     _SLAB = 65536
 
     @jax.jit
-    def prologue(pos_gas, h_prev, h0m_prev, h_cap_pad, ha, n_gas_d):
+    def prologue(pos_gas, h_prev, rhom_prev, h_cap_pad, ha, n_gas_d):
         rho_model, h0_model, h_box = _model_fields_from_rho(
             sph_mod.global_density_model(pos_gas, ha, boxsize,
                                          cool_core, beta=beta),
             mpart, desnngb)
         h0 = jnp.where(h_prev > 0, h_prev * _warm_ratio(
-            h0_model, h0m_prev), h0_model)
+            rho_model, rhom_prev), h0_model)
 
         def pad1(x):
             if pad == 0:
@@ -190,12 +195,12 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
                 hm_s.reshape(nb, blk.BLOCK), src,
                 pos_b.min(axis=1), pos_b.max(axis=1),
                 hm_src.reshape(nb, blk.BLOCK).max(axis=1),
-                cap_eff_pad, h0_model)
+                cap_eff_pad)
 
     @jax.jit
     def epilogue(pos_gas, rho, hsml, vf, delta, rho_model, hm_s,
                  h_cap_pad, cap_eff_pad, done_f, fac_gas, n_gas_d,
-                 step, err_last, it_d, h0_model):
+                 step, err_last, it_d):
         valid = jnp.arange(n_padded) < n_gas_d
         done = done_f > 0.5
         still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
@@ -222,14 +227,14 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
             jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
         return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], pos_new,
                 rho_model, err.max(), err_mean, n_sat, dmax_rel,
-                step_new, fac_new, h0_model)
+                step_new, fac_new)
 
-    def iter_fn(pos_gas, h_prev, h0m_prev, h_cap_pad, cand_idx, count,
+    def iter_fn(pos_gas, h_prev, rhom_prev, h_cap_pad, cand_idx, count,
                 class_ids, tail, ha, fac_gas, n_gas_d, step, err_last,
                 it_d):
         (rho_model, hm_s, h0_b, hm_b, src,
-         bb_lo, bb_hi, bhm, cap_eff_pad, h0_model) = prologue(
-            pos_gas, h_prev, h0m_prev, h_cap_pad, ha, n_gas_d)
+         bb_lo, bb_hi, bhm, cap_eff_pad) = prologue(
+            pos_gas, h_prev, rhom_prev, h_cap_pad, ha, n_gas_d)
         cap_b = cap_eff_pad.reshape(nb, blk.BLOCK)
         cnt_all = jnp.minimum(count, cand_idx.shape[1])
         outs = [[] for _ in range(5)]  # rho, h, vf, done, delta
@@ -251,7 +256,7 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
                         vf.reshape(-1), delta.reshape(-1, 3), rho_model,
                         hm_s, h_cap_pad, cap_eff_pad,
                         done.reshape(-1).astype(jnp.float32), fac_gas,
-                        n_gas_d, step, err_last, it_d, h0_model)
+                        n_gas_d, step, err_last, it_d)
 
     return iter_fn
 
@@ -276,7 +281,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
     pad = n_padded - n_gas
 
     @jax.jit
-    def iter_fn(pos_gas, h_prev, h0m_prev, h_cap_pad, cand_idx, count,
+    def iter_fn(pos_gas, h_prev, rhom_prev, h_cap_pad, cand_idx, count,
                 class_ids, tail, ha, fac_gas, n_gas_d, step, err_last,
                 it_d):
         # n_gas_d: DYNAMIC scalar — a static bound would constant-fold
@@ -288,7 +293,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                                          cool_core, beta=beta),
             mpart, desnngb)
         h0 = jnp.where(h_prev > 0, h_prev * _warm_ratio(
-            h0_model, h0m_prev), h0_model)
+            rho_model, rhom_prev), h0_model)
 
         def pad1(x):
             if pad == 0:
@@ -463,7 +468,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
         return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], pos_new,
                 rho_model, err.max(), err_mean, n_sat, dmax_rel,
-                step_new, fac_new, h0_model)
+                step_new, fac_new)
 
     _ITER_FN_CACHE[key] = iter_fn
     return iter_fn
@@ -521,9 +526,11 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     # standing memory over HBM.
     pos_gas = jnp.array(parts.pos[:n_gas])
     h_prev = jnp.array(parts.hsml[:n_gas])
-    # model-base h at each particle's PREVIOUS position (see
-    # _warm_ratio); 0 = no prediction (cold start / checkpoint resume)
-    h0m_prev = jnp.zeros((n_gas,), jnp.float32)
+    # model density at each particle's PREVIOUS position (see
+    # _warm_ratio); 0 = no prediction (cold start / checkpoint resume).
+    # Aliased to the retained rho_model_l after each iteration, so the
+    # predictor costs no standing memory.
+    rhom_prev = jnp.zeros((n_gas,), jnp.float32)
     order_acc = jnp.arange(n_gas, dtype=jnp.int32)
     rho_l = hsml_l = vf_l = rho_model_l = None
 
@@ -636,7 +643,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 order_acc = order_acc[order]
                 pos_gas = state.index.pos[:n_gas]
                 h_prev = h_prev[order]
-                h0m_prev = h0m_prev[order]
+                rhom_prev = rhom_prev[order]
                 fac_gas = fac_gas[order]
                 del order
                 # the sorted positions and permutation are adopted into
@@ -678,7 +685,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             if pending is not None and pending[0] == it:
                 out = pending[1]
             else:
-                out = iter_fn(pos_gas, h_prev, h0m_prev, state.h_cap,
+                out = iter_fn(pos_gas, h_prev, rhom_prev, state.h_cap,
                               state.cand.idx, state.cand.count,
                               class_ids, state.tail, ha, fac_gas,
                               jnp.int32(n_gas), jnp.float32(step),
@@ -686,7 +693,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             pending = None
             (rho, hsml, vf, pos_new, rho_model_s, err_max_d,
              err_mean_d, n_sat_d, dmax_rel_d, step_new_d,
-             fac_new_d, h0m_out) = out
+             fac_new_d) = out
             del out  # the tuple would pin ~1.5 GB at 5e7 gas
             # speculate it+1 BEFORE fetching it's scalars, unless a
             # rebuild is predictable from host state.  A stop rule
@@ -699,7 +706,8 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 or state.tail is not None)
             if speculate and it < max_iter and not predict_rebuild:
                 pending = (it + 1, iter_fn(
-                    pos_new, hsml, h0m_out, state.h_cap, state.cand.idx,
+                    pos_new, hsml, rho_model_s, state.h_cap,
+                    state.cand.idx,
                     state.cand.count, class_ids, state.tail, ha,
                     fac_new_d, jnp.int32(n_gas), step_new_d,
                     err_mean_d, jnp.int32(it + 1)))
@@ -733,8 +741,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             pending = None
             grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
             h_prev = hsml
-            h0m_prev = h0m_out
-            del rho, hsml, vf, pos_new, rho_model_s
+            # positions are unchanged on the retry: prev-model = current
+            # model, so the predictor's ratio is exactly 1
+            rhom_prev = rho_model_s
+            del rho, hsml, vf, pos_new
             state = None
         else:
             raise RuntimeError(
@@ -744,7 +754,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
 
         rho_l, hsml_l, vf_l, rho_model_l = rho, hsml, vf, rho_model_s
         h_prev = hsml
-        h0m_prev = h0m_out
+        rhom_prev = rho_model_s
 
         err_diff = (err_last - err_mean) / err_mean
 
