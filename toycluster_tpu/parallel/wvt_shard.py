@@ -74,6 +74,9 @@ class ShardStepResult(NamedTuple):
     pos: jnp.ndarray        # (N,3) new positions, original order
     rho: jnp.ndarray        # (N,) SPH density
     hsml: jnp.ndarray       # (N,) solved smoothing length (warm start)
+    rho_model: jnp.ndarray  # (N,) model density at the OLD positions —
+    #                         feed back as rhom_prev for the
+    #                         model-ratio warm start (wvt._warm_ratio)
     err_mean: jnp.ndarray   # () mean |rho-rho_model|/rho_model
     err_max: jnp.ndarray    # ()
     n_saturated: jnp.ndarray  # () lanes that hit the hsml cap
@@ -154,7 +157,7 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
     if halo == "ring" and not use_stream:
         raise ValueError("halo='ring' requires the stream engine")
 
-    def body(pos_l, hprev_l, valid_l, step):
+    def body(pos_l, hprev_l, rhomp_l, valid_l, step):
         nbl = pos_l.shape[0] // BLOCK
         ax = jax.lax.axis_index(axis)
 
@@ -162,7 +165,10 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         rho_model_l = global_density_model(pos_l, ha, boxsize, cool_core)
         h0_model_l = (desnngb * mpart / rho_model_l
                       / const.FOURPITHIRD) ** (1.0 / 3.0)
-        h_guess_l = jnp.where(hprev_l > 0, hprev_l, h0_model_l)
+        from ..models.wvt import _warm_ratio
+        h_guess_l = jnp.where(
+            hprev_l > 0, hprev_l * _warm_ratio(rho_model_l, rhomp_l),
+            h0_model_l)
         cap_l = jnp.minimum(jnp.maximum(h_guess_l, h0_model_l)
                             * _CAP_FACTOR, boxsize / 3.0)
 
@@ -328,19 +334,20 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         new_pos = pos_l + delta * boxsize
         new_pos = new_pos - jnp.floor(new_pos / boxsize) * boxsize
 
-        return (new_pos, rho_r, hsml_r, err_mean, err_max,
+        return (new_pos, rho_r, hsml_r, rho_model_l, err_mean, err_max,
                 n_sat, overflow)
 
     sharded_body = shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(),
+                   P()),
         # pallas_call emits vma-less ShapeDtypeStructs, which the
         # default check_vma=True rejects inside shard_map
         check_vma=False)
 
-    @jax.jit
-    def step_fn(pos, hsml_prev, step):
+    @partial(jax.jit, static_argnames=())
+    def _step(pos, hsml_prev, rhom_prev, step):
         n = pos.shape[0]
         assert n % (BLOCK * n_dev) == 0, (
             f"N={n} must be a multiple of BLOCK*n_devices="
@@ -352,16 +359,23 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         order = hilbert_order(pos, boxsize)
         pos_s = pos[order]
         hprev_s = hsml_prev[order]
+        rhomp_s = rhom_prev[order]
         valid_s = order < n_real
-        out = sharded_body(pos_s, hprev_s, valid_s,
+        out = sharded_body(pos_s, hprev_s, rhomp_s, valid_s,
                            jnp.float32(step))
-        new_pos_s, rho_s, h_s = out[:3]
+        new_pos_s, rho_s, h_s, rhom_s = out[:4]
         inv = jnp.zeros((n,), order.dtype).at[order].set(
             jnp.arange(n, dtype=order.dtype))
         return ShardStepResult(
             pos=new_pos_s[inv], rho=rho_s[inv], hsml=h_s[inv],
-            err_mean=out[3], err_max=out[4], n_saturated=out[5],
-            cand_overflow=out[6])
+            rho_model=rhom_s[inv],
+            err_mean=out[4], err_max=out[5], n_saturated=out[6],
+            cand_overflow=out[7])
+
+    def step_fn(pos, hsml_prev, step, rhom_prev=None):
+        if rhom_prev is None:
+            rhom_prev = jnp.zeros((pos.shape[0],), jnp.float32)
+        return _step(pos, hsml_prev, rhom_prev, step)
 
     return step_fn
 
@@ -409,8 +423,9 @@ def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
 
     err_last = math.inf
     err_diff_last = math.inf
+    rhom = None
     for it in range(max_iter + 1):
-        out = step_fn(pos, hsml, step)
+        out = step_fn(pos, hsml, step, rhom_prev=rhom)
         err_mean = float(out.err_mean)
         err_diff = (err_last - err_mean) / err_mean
         if log:
@@ -425,5 +440,5 @@ def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
             step *= 0.8
         err_last = err_mean
         err_diff_last = err_diff
-        pos, hsml = out.pos, out.hsml
+        pos, hsml, rhom = out.pos, out.hsml, out.rho_model
     return out.pos[:n_real], out.rho[:n_real], out.hsml[:n_real]
