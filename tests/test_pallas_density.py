@@ -600,3 +600,76 @@ def test_compacted_lists_are_exact(setup):
                                   cand_pos=pos_it)
     for a, b in zip(base, compacted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_inkernel_bits_matches_precomputed(setup):
+    """TOYCLUSTER_IK_BITS path: stage-A superblock-HULL bits compact
+    the lists (conservative superset of the member-level test) and the
+    stream kernel computes the member-level skip test itself during
+    sweep 0, caching the packed words in SMEM scratch for the later
+    density sweeps.  Both gate only exact-zero tiles, so results must
+    be BIT-IDENTICAL to the precomputed member-level bits path."""
+    from toycluster_tpu.ops.pallas_pair import (compact_sb_lists_agg,
+                                                stream_skip_bits,
+                                                stream_wvt_pallas)
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    h_box = h0s / BOX
+    hm_sorted = jnp.where(bi.valid, h_box, 0.0)
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    src = jnp.concatenate(
+        [pos_t, hm_sorted.reshape(nb, 1, blk.BLOCK)], axis=1)
+    h0_b = h0s.reshape(nb, blk.BLOCK)
+    cap_b = cap.reshape(nb, blk.BLOCK)
+    hm_b = h_box.reshape(nb, blk.BLOCK)
+
+    radius = cap_b.max(axis=1)
+    rec = jnp.arange(nb, dtype=jnp.int32)
+    cand_sb = blk.find_candidates_super(
+        bi, rec, radius, hm_b.max(axis=1) * BOX, BOX,
+        max_cand=max(4, bi.sb_lo.shape[0]))
+    assert int(cand_sb.overflow) <= 0
+    bhm = hm_sorted.reshape(nb, blk.BLOCK).max(axis=1)
+
+    kw = dict(kernel="wc6", desnngb=DESNNGB, n_sweeps=24,
+              interpret=True, sb_mode=True)
+    bits, safe = stream_skip_bits(
+        bi.bb_lo, bi.bb_hi, bhm, rec, cand_sb.idx, cap_b, hm_b,
+        float(BOX), sb=True)
+    base = stream_wvt_pallas(src, cand_sb.idx, cand_sb.count, pos_t,
+                             h0_b, cap_b, hm_b, 1.0, BOX, **kw,
+                             bits=bits, safe=safe)
+
+    bits_sb, safe_a = stream_skip_bits(
+        bi.bb_lo, bi.bb_hi, bhm, rec, cand_sb.idx, cap_b, hm_b,
+        float(BOX), agg=True)
+    np.testing.assert_array_equal(np.asarray(safe), np.asarray(safe_a))
+    cand_it, cnt_it = compact_sb_lists_agg(
+        cand_sb.idx, cand_sb.count, bits_sb, do_disp=True)
+    cen_blk = 0.5 * (bi.bb_lo + bi.bb_hi)
+    ext_blk = 0.5 * (bi.bb_hi - bi.bb_lo)
+    rowq = jnp.concatenate(
+        [cen_blk, ext_blk, cap_b.max(axis=1)[:, None],
+         hm_b.max(axis=1)[:, None]], axis=1).astype(jnp.float32)
+    mtab = jnp.concatenate(
+        [cen_blk, ext_blk, bhm[:, None],
+         jnp.zeros((nb, 1), jnp.float32)], axis=1).astype(jnp.float32)
+    ik = stream_wvt_pallas(src, cand_it, cnt_it, pos_t, h0_b, cap_b,
+                           hm_b, 1.0, BOX, **kw, safe=safe_a,
+                           rowq=rowq, mtab=mtab, inkernel_bits=True)
+    for a, b in zip(base, ik):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # density-only variant (find_sph_quantities path)
+    kwd = dict(kw, do_disp=False)
+    base_d = stream_wvt_pallas(src, cand_sb.idx, cand_sb.count, pos_t,
+                               h0_b, cap_b, hm_b, 1.0, BOX, **kwd,
+                               bits=bits, safe=safe)
+    cand_d, cnt_d = compact_sb_lists_agg(
+        cand_sb.idx, cand_sb.count, bits_sb, do_disp=False)
+    ik_d = stream_wvt_pallas(src, cand_d, cnt_d, pos_t, h0_b, cap_b,
+                             hm_b, 1.0, BOX, **kwd, safe=safe_a,
+                             rowq=rowq, mtab=mtab, inkernel_bits=True)
+    for a, b in zip(base_d[:5], ik_d[:5]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

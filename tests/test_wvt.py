@@ -121,3 +121,41 @@ def test_rebuild_every_equivalence(monkeypatch):
     d = np.minimum(d, box - d)   # periodic metric
     assert d.max() < 2e-3 * box
     np.testing.assert_allclose(rho8, rho1, rtol=2e-2)
+
+
+def test_wvt_loop_inkernel_bits_wiring(monkeypatch):
+    """End-to-end wiring of the TOYCLUSTER_IK_BITS path through the
+    production pallas branch of the WVT iteration (interpret mode on
+    CPU): the in-kernel member test + stage-A hull compaction must
+    reproduce the default precomputed-bits iteration EXACTLY, including
+    across a rebuild."""
+    from functools import partial
+
+    from toycluster_tpu.ops import pallas_pair
+
+    monkeypatch.setenv("TOYCLUSTER_ENGINE", "pallas")
+    monkeypatch.setattr(
+        pallas_pair, "stream_wvt_pallas",
+        partial(pallas_pair.stream_wvt_pallas, interpret=True))
+
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=3000, wvt_max_iter=3, sph_kernel="m4")
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    key = jax.random.PRNGKey(5)
+    parts0 = pos_mod.make_positions(key, scene, ha)
+    parts0 = pos_mod.shift_origin(parts0, ha, scene.boxsize)
+
+    def run(ik):
+        monkeypatch.setattr(wvt, "_IK_BITS", ik)
+        return wvt.regularise_sph_particles(scene, ha, parts0,
+                                            log=silent_log)
+
+    ref = run(False)
+    new = run(True)
+    np.testing.assert_array_equal(np.asarray(ref.pos),
+                                  np.asarray(new.pos))
+    np.testing.assert_array_equal(np.asarray(ref.rho),
+                                  np.asarray(new.rho))
+    np.testing.assert_array_equal(np.asarray(ref.hsml),
+                                  np.asarray(new.hsml))

@@ -35,6 +35,12 @@ ERRDIFF_LIMIT = 0.01    # wvt_relax.c:8
 import os as _os
 
 REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 8))
+# in-kernel member skip test (stage-A superblock-hull bits + the
+# stream kernel computing member-level tests itself, cached in SMEM):
+# replaces the full-width member-level stream_skip_bits pass.  OFF by
+# default until TPU A/B confirms the scalar-unit work hides under the
+# VPU tile stream; outputs are exactly equal either way.
+_IK_BITS = int(_os.environ.get("TOYCLUSTER_IK_BITS", "0")) > 0
 _SYM_MARGIN = 1.1       # displacement-radius slack for inter-build drift
 _FAC_MAX = 2.0          # cap-ratchet ceiling (see fac_gas note below)
 # enforced inter-build drift budget: a pair's separation changes by at
@@ -266,8 +272,10 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
     from ..ops import blocks as blk
     from ..ops import pair_ops
 
+    # _IK_BITS is read at trace time inside iter_fn; key on the current
+    # value so an in-process A/B flip cannot reuse a stale trace
     key = (class_shape, n_gas, n_padded, mpart, boxsize, desnngb, kernel,
-           cool_core, engine, tail_shape, beta)
+           cool_core, engine, tail_shape, beta, _IK_BITS)
     if key in _ITER_FN_CACHE:
         return _ITER_FN_CACHE[key]
 
@@ -335,6 +343,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             # iteration (median per-iteration drift is 1-10% of h, so
             # build-time pruning would need ruinous margins).
             from ..ops.pallas_pair import (compact_sb_lists,
+                                           compact_sb_lists_agg,
                                            stream_skip_bits,
                                            stream_wvt_pallas)
             src_blocks = jnp.concatenate([pos_t, hm_blocks], axis=1)
@@ -344,30 +353,59 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             bb_hi = pos_b.max(axis=1)
             bhm = hm_src.reshape(nb, blk.BLOCK).max(axis=1)
 
-            bucket_widths = (tuple(w for _, w in class_shape[1:])
-                             if class_shape else None)
-            bits, safe = stream_skip_bits(
-                bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
-                cand_idx, cap_b, hm_b, float(boxsize), sb=True,
-                bucket_ids=(tuple(class_ids) if class_shape else None),
-                bucket_widths=bucket_widths)
-            # compact each row's list to the superblocks the kernel
-            # will actually touch (the bits already encode this): ~40%
-            # of streamed member blocks were pure visit overhead.
-            # Budget-gated: the compacted copies (cand_it + pos_it)
-            # double the width-proportional live memory, which 1e8
-            # configs cannot spare (~2 GB at width 320) for a ~2.5%
-            # kernel win — skip compaction above ~600 MB of copies.
-            if cand_idx.shape[0] * cand_idx.shape[1] <= (1 << 27):
-                cand_it, pos_it, cnt_it = compact_sb_lists(
-                    cand_idx, cnt_all, bits, do_disp=True)
+            if _IK_BITS:
+                # in-kernel member skip test (TOYCLUSTER_IK_BITS=1):
+                # stage A tests superblock HULLS only (1/8 the gather
+                # rows of the member-level pass) to compact the lists;
+                # the kernel computes the member-level test itself for
+                # the superblocks it actually streams, during sweep 0
+                bits_sb, safe = stream_skip_bits(
+                    bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
+                    cand_idx, cap_b, hm_b, float(boxsize), agg=True)
+                cand_it, cnt_it = compact_sb_lists_agg(
+                    cand_idx, cnt_all, bits_sb, do_disp=True)
+                cen_blk = 0.5 * (bb_lo + bb_hi)
+                ext_blk = 0.5 * (bb_hi - bb_lo)
+                rowq = jnp.concatenate(
+                    [cen_blk, ext_blk, cap_b.max(axis=1)[:, None],
+                     hm_b.max(axis=1)[:, None]],
+                    axis=1).astype(jnp.float32)
+                mtab = jnp.concatenate(
+                    [cen_blk, ext_blk, bhm[:, None],
+                     jnp.zeros((nb, 1), jnp.float32)],
+                    axis=1).astype(jnp.float32)
+                rho, h, vf, wk, done, delta = stream_wvt_pallas(
+                    src_blocks, cand_it, cnt_it, pos_t, h0_b, cap_b,
+                    hm_b, float(mpart), float(boxsize),
+                    kernel=kernel, desnngb=desnngb, sb_mode=True,
+                    safe=safe, rowq=rowq, mtab=mtab, inkernel_bits=True)
             else:
-                cand_it, pos_it, cnt_it = cand_idx, None, cnt_all
-            rho, h, vf, wk, done, delta = stream_wvt_pallas(
-                src_blocks, cand_it, cnt_it, pos_t, h0_b, cap_b, hm_b,
-                float(mpart), float(boxsize),
-                kernel=kernel, desnngb=desnngb, sb_mode=True, bits=bits,
-                safe=safe, cand_pos=pos_it)
+                bucket_widths = (tuple(w for _, w in class_shape[1:])
+                                 if class_shape else None)
+                bits, safe = stream_skip_bits(
+                    bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
+                    cand_idx, cap_b, hm_b, float(boxsize), sb=True,
+                    bucket_ids=(tuple(class_ids) if class_shape
+                                else None),
+                    bucket_widths=bucket_widths)
+                # compact each row's list to the superblocks the kernel
+                # will actually touch (the bits already encode this):
+                # ~40% of streamed member blocks were pure visit
+                # overhead.  Budget-gated: the compacted copies
+                # (cand_it + pos_it) double the width-proportional live
+                # memory, which 1e8 configs cannot spare (~2 GB at
+                # width 320) for a ~2.5% kernel win — skip compaction
+                # above ~600 MB of copies.
+                if cand_idx.shape[0] * cand_idx.shape[1] <= (1 << 27):
+                    cand_it, pos_it, cnt_it = compact_sb_lists(
+                        cand_idx, cnt_all, bits, do_disp=True)
+                else:
+                    cand_it, pos_it, cnt_it = cand_idx, None, cnt_all
+                rho, h, vf, wk, done, delta = stream_wvt_pallas(
+                    src_blocks, cand_it, cnt_it, pos_t, h0_b, cap_b,
+                    hm_b, float(mpart), float(boxsize),
+                    kernel=kernel, desnngb=desnngb, sb_mode=True,
+                    bits=bits, safe=safe, cand_pos=pos_it)
             outs = [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
                     wk.reshape(-1), done.reshape(-1).astype(jnp.float32),
                     delta.reshape(-1, 3)]

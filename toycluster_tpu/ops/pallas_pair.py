@@ -915,10 +915,10 @@ _BITS_CHUNK = 1024  # rows per chunk in stream_skip_bits (bounds temps)
 
 
 @partial(jax.jit, static_argnames=("boxsize", "sb", "margin_frac",
-                                   "bucket_widths"))
+                                   "bucket_widths", "agg"))
 def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
                      hm_rows, boxsize, sb=False, margin_frac=0.0,
-                     bucket_ids=None, bucket_widths=None):
+                     bucket_ids=None, bucket_widths=None, agg=False):
     """Packed per-candidate-block skip words for the stream kernel.
 
     Two bits per block, 16 blocks per int32 word:
@@ -956,7 +956,15 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     ~box/2 on every axis — the validity condition of the stream kernel's
     hoisted periodic wrap (sources wrapped once against the row centre).
     Rows with safe=0 fall back to per-pair min-image wrapping in-kernel.
+
+    agg=True (stage A of the in-kernel-bits path): block_rows carry
+    SUPERBLOCK ids tested against _FAN-group HULLS of the member-block
+    geometry — 1/_FAN the gather rows of the member-level pass, and a
+    conservative superset of it (a hull in range does not imply any
+    member is).  One 2-bit field per superblock; feed
+    compact_sb_lists_agg.
     """
+    assert not (sb and agg), "agg operates on unexpanded superblock ids"
     S, Mb = block_rows.shape
     nb_blocks = bb_lo.shape[0]
     qscale = float(2 ** 22) / float(boxsize)
@@ -993,6 +1001,30 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
          (bhm if bhm is not None
           else jnp.zeros((nb_blocks,), bb_lo.dtype))[:, None],
          jnp.zeros((nb_blocks, 1), bb_lo.dtype)], axis=1)   # (nb, 8)
+    if agg:
+        # superblock-hull source table (receivers stay block-level)
+        padm = (-nb_blocks) % _FAN
+        lo_a = (jnp.concatenate([bb_lo, jnp.full((padm, 3), jnp.inf,
+                                                 bb_lo.dtype)])
+                if padm else bb_lo)
+        hi_a = (jnp.concatenate([bb_hi, jnp.full((padm, 3), -jnp.inf,
+                                                 bb_hi.dtype)])
+                if padm else bb_hi)
+        lo_sb = lo_a.reshape(-1, _FAN, 3).min(axis=1)
+        hi_sb = hi_a.reshape(-1, _FAN, 3).max(axis=1)
+        n_src = lo_sb.shape[0]
+        if bhm is not None:
+            bhm_sb = (jnp.concatenate([bhm, jnp.zeros((padm,),
+                                                      bhm.dtype)])
+                      if padm else bhm).reshape(-1, _FAN).max(axis=1)
+        else:
+            bhm_sb = jnp.zeros((n_src,), bb_lo.dtype)
+        psrc = jnp.concatenate(
+            [0.5 * (lo_sb + hi_sb), 0.5 * (hi_sb - lo_sb),
+             bhm_sb[:, None], jnp.zeros((n_src, 1), bb_lo.dtype)],
+            axis=1)
+    else:
+        psrc = packed
 
     def run_rows(idc_b, rows_b, hq_b, hmi_b):
         """Chunked skip-word computation for one bucket of rows —
@@ -1020,7 +1052,7 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
                 rows_c = jnp.where(ok, e, -1).reshape(
                     rows_c.shape[0], -1)
             rowsc = jnp.maximum(rows_c, 0)
-            pj = packed[rowsc]                  # (C, Mb, 8) one gather
+            pj = psrc[rowsc]                    # (C, Mb, 8) one gather
             pi = packed[idc_c]                  # (C, 8)
             d = pi[:, None, :3] - pj[:, :, :3]
             d = d - boxsize * jnp.round(d / boxsize)
@@ -1102,8 +1134,31 @@ def compact_sb_lists(cand, cnt, bits, *, do_disp=True):
     return cand_it, pos_it, cnt_it
 
 
+def compact_sb_lists_agg(cand, cnt, bits_sb, *, do_disp=True):
+    """Compaction from STAGE-A superblock-hull bits (one 2-bit field
+    per superblock from stream_skip_bits(agg=True), a conservative
+    superset of the member-level test) for the in-kernel-bits stream
+    path: keep a superblock unless its field is dens-skip with no
+    disp-keep.  Returns (cand_it, cnt_it) — the in-kernel member test
+    keys its SMEM cache by list position, so no slot map is needed."""
+    S, M = cand.shape
+    idxs = jnp.arange(M, dtype=jnp.int32)
+    fields = (bits_sb[:, idxs >> 4] >> (2 * (idxs & 15))) & 3
+    if do_disp:
+        useful = fields != 1
+    else:
+        useful = (fields & 1) == 0
+    in_list = idxs[None, :] < jnp.minimum(cnt, M)[:, None]
+    keep = useful & in_list & (cand >= 0)
+    _, cand_it = jax.lax.sort(
+        ((~keep).astype(jnp.int32), cand.astype(jnp.int32)),
+        dimension=1, is_stable=True, num_keys=1)
+    cnt_it = keep.sum(axis=1).astype(jnp.int32)
+    return cand_it, cnt_it
+
+
 def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
-                   sb_nb, do_disp,
+                   sb_nb, do_disp, ik_bits,
                    cand_ref,                 # (S, M) scalar prefetch
                    cnt_ref,                  # (S,)
                    bits_ref,                 # (S, ceil(Mb/16)) packed skip
@@ -1111,6 +1166,10 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                    #                           + hoisted-wrap safe flag
                    pos_ref,                  # (S, M) original list slot of
                    #                           each (compacted) cand slot
+                   rowq_ref,                 # (S, 8) f32 receiver bbox
+                   #                           cen/ext + hq/hmi (ik_bits)
+                   mtab_ref,                 # (nb_pad, 8) f32 member bbox
+                   #                           cen/ext + bhm (ik_bits)
                    *rest):
     # rest: 6 receiver columns (1,B,1) [x0,x1,x2,h0,cap,hm_i],
     #       src_ref (nb, 4, B) in ANY (rows 0-2 coords, row 3 source hm),
@@ -1122,7 +1181,8 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
     csc = rest[8]
     acc_ref = rest[9]
     acc2 = rest[10]     # (5*B, B) full-tile accumulators (see below)
-    sem = rest[11]
+    bsc = rest[11]      # (nw,) int32 SMEM cache of in-kernel skip words
+    sem = rest[12]
 
     s = pl.program_id(0)
     f32 = jnp.float32
@@ -1155,6 +1215,14 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         word = bits_ref[s, idx >> 4]
         return (word >> (2 * (idx & 15))) & 3
 
+    def bits_cached(g, f):
+        # ik_bits mode: sweep 0 computed the member tests in-kernel and
+        # cached the packed words in SMEM scratch, keyed by LIST
+        # position (the compacted list needs no slot map back)
+        idx = g * _FAN + f
+        word = bsc[idx >> 4]
+        return (word >> (2 * (idx & 15))) & 3
+
     @pl.when(cnt_ref[s] > 0)
     def _():
         xi = [recv_refs[d][0] for d in range(3)]      # (B,1) each
@@ -1169,6 +1237,52 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         # hoisted-wrap validity flag (stream_skip_bits): rows whose
         # half-extent + max pair range could reach box/2 re-wrap per pair
         safe = cen_ref[s, 3] > 0
+
+        # ---- in-kernel member skip test (ik_bits mode) ----
+        # Replaces the per-iteration XLA member-level stream_skip_bits
+        # pass (gather-row-tax bound over the FULL list width) with ~35
+        # scalar-unit ops per VISITED member of the stage-A-compacted
+        # list, computed during sweep 0 and cached in SMEM scratch for
+        # the later density sweeps.  Conservative bbox tests keep a
+        # superset of in-range blocks; extra tiles contribute exact
+        # zeros (the property compaction already relies on), so outputs
+        # are unchanged.  Scalar work overlaps the VPU tile stream.
+        if ik_bits:
+            hqw = rowq_ref[s, 6]
+            hq2 = hqw * hqw
+            hmi_row = rowq_ref[s, 7]
+        half_box = 0.5 * boxsize
+
+        def member_test(g, f):
+            """2-bit skip field for member f of the g-th listed
+            candidate, from receiver/member bbox hulls (same geometry
+            as stream_skip_bits, float instead of quantized — both are
+            conservative bounds on the true pair distances)."""
+            if sb_nb:
+                b = jnp.maximum(cand_ref[s, g], 0) * _FAN + f
+                invalid = jnp.int32(0)   # g < n_grp entries are real;
+                #                          past-nb members have hm=0
+                #                          sources -> zero contribution
+            else:
+                c = cand_ref[s, g * _FAN + f]
+                b = jnp.maximum(c, 0)
+                invalid = (c < 0).astype(jnp.int32)
+            gd2 = jnp.float32(0.0)
+            for d in range(3):
+                dd = rowq_ref[s, d] - mtab_ref[b, d]
+                dd = jnp.where(dd > half_box, dd - boxsize, dd)
+                dd = jnp.where(dd < -half_box, dd + boxsize, dd)
+                gp = (jnp.abs(dd) - rowq_ref[s, 3 + d]
+                      - mtab_ref[b, 3 + d])
+                gp = jnp.maximum(gp, 0.0)
+                gd2 = gd2 + gp * gp
+            dens_skip = (gd2 > hq2).astype(jnp.int32) | invalid
+            if do_disp:
+                thr = (hmi_row + mtab_ref[b, 6]) * half_box
+                disp_keep = ((gd2 <= thr * thr).astype(jnp.int32)
+                             & (1 - invalid))
+                return dens_skip | (disp_keep << 1)
+            return dens_skip
 
         # receiver coords centred on the row's reference point — pairs
         # with the centred source rows built in stream_pass need no
@@ -1189,13 +1303,16 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 for f in range(_FAN):
                     copy_of(g, f).start()
 
-        def stream_pass(tile_fn, keep_bit, wrap):
+        def stream_pass(tile_fn, keep_bit, wrap, ik_mode=None):
             """fori over candidate groups: double-buffered DMA, per-block
             skip via the packed bits (keep_bit 0: density, 1: disp,
             2: union — the fused sweep-0 pass streams a block if EITHER
             consumer needs it; the tile gates each part on its own bit).
             `wrap` (python bool): re-wrap pair separations per pair —
-            the fallback for rows where the hoisted wrap could alias."""
+            the fallback for rows where the hoisted wrap could alias.
+            `ik_mode` (static): None reads the prefetched bits;
+            "first" computes member_test in-kernel and caches the packed
+            words in bsc; "cached" reads them back."""
             issue(0)
 
             def body(g, carry):
@@ -1205,10 +1322,17 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 slot = jax.lax.rem(g, _SLOTS)
                 if sb_nb:
                     copy_of(g, 0).wait()
+                word = carry
                 for f in range(_FAN):
                     if not sb_nb:
                         copy_of(g, f).wait()
-                    b2 = bits(g, f)
+                    if ik_mode == "first":
+                        b2 = member_test(g, f)
+                        word = word | (b2 << (2 * ((g & 1) * _FAN + f)))
+                    elif ik_mode == "cached":
+                        b2 = bits_cached(g, f)
+                    else:
+                        b2 = bits(g, f)
                     if keep_bit == 0:
                         cond = (b2 & 1) == 0
                     elif keep_bit == 1:
@@ -1235,21 +1359,28 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                                  for x in t]
                         hj = csc[pl.ds(row + 3, 1), :]
                         tile_fn(t, hj, wrap, b2)
-                return carry
+                if ik_mode == "first":
+                    # two groups (16 members x 2 bits) share a word:
+                    # flush after every odd group and at the tail
+                    @pl.when(((g & 1) == 1) | (g == n_grp - 1))
+                    def _(word=word):
+                        bsc[g >> 1] = word
+                    return jnp.where((g & 1) == 1, 0, word)
+                return word
 
-            jax.lax.fori_loop(0, n_grp, body, 0)
+            jax.lax.fori_loop(0, n_grp, body, jnp.int32(0))
 
-        def branch_pass(tile_fn, keep_bit):
+        def branch_pass(tile_fn, keep_bit, ik_mode=None):
             """Row-level branch on the hoisted-wrap validity: the safe
             variant (no per-pair wrap) runs for ~all rows; oversized
             sparse-outskirt rows pay the per-pair min-image re-wrap."""
             @pl.when(safe)
             def _():
-                stream_pass(tile_fn, keep_bit, False)
+                stream_pass(tile_fn, keep_bit, False, ik_mode)
 
             @pl.when(jnp.logical_not(safe))
             def _():
-                stream_pass(tile_fn, keep_bit, True)
+                stream_pass(tile_fn, keep_bit, True, ik_mode)
 
         # ------------- fused density solve + displacement -------------
         # sweep 0 is hoisted out of the Newton while_loop as a UNION
@@ -1303,7 +1434,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
             acc_ref[:, 1:2] = acc2[BLOCK:2 * BLOCK, :].sum(
                 axis=1, keepdims=True)
 
-        def density_pass(h):
+        def density_pass(h, ik_mode=None):
             inv_h2 = 1.0 / (h * h)
             acc2[0:2 * BLOCK, :] = jnp.zeros((2 * BLOCK, BLOCK), f32)
 
@@ -1315,7 +1446,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                 else:
                     dens_accum(jnp.sqrt(r2 * inv_h2), vj, h)
 
-            branch_pass(tile, 0)
+            branch_pass(tile, 0, ik_mode)
             reduce_dens()
 
         def disp_coef(r2, r, inv_r, hj, noise_floor):
@@ -1362,7 +1493,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                         acc2[(2 + d) * BLOCK:(3 + d) * BLOCK, :] += (
                             coef * dx[d])
 
-            branch_pass(tile, 2)
+            branch_pass(tile, 2, "first" if ik_bits else None)
             reduce_dens()
             for d in range(3):
                 acc_ref[:, 2 + d:3 + d] = acc2[
@@ -1423,7 +1554,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
                     jnp.where(keep, 1.0, 0.0).astype(f32))
 
         def newton(state):
-            density_pass(state[1])
+            density_pass(state[1], "cached" if ik_bits else None)
             return update(state)
 
         def cond(state):
@@ -1437,7 +1568,7 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
         if do_disp:
             union_pass(h0c, 1.0 / h0c)
         else:
-            density_pass(h0c)
+            density_pass(h0c, "first" if ik_bits else None)
         state = update((0, h0c, h0c, zero, cap, zero))
         _, h, h_meas, _, _, done_f = jax.lax.while_loop(cond, newton,
                                                         state)
@@ -1480,12 +1611,14 @@ def _stream_kernel(kernel_kind, desnngb, mpart, boxsize, n_sweeps,
 
 @partial(jax.jit,
          static_argnames=("kernel", "desnngb", "n_sweeps", "interpret",
-                          "mpart", "boxsize", "sb_mode", "do_disp"))
+                          "mpart", "boxsize", "sb_mode", "do_disp",
+                          "inkernel_bits"))
 def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
                       mpart, boxsize, gdist=None, dkeep=None, *,
                       kernel="wc6", desnngb=295, n_sweeps=16,
                       interpret=False, sb_mode=False, do_disp=True,
-                      bits=None, safe=None, cand_pos=None):
+                      bits=None, safe=None, cand_pos=None,
+                      rowq=None, mtab=None, inkernel_bits=False):
     """v3 dynamic-streaming density solve + WVT displacement.
 
     src_blocks: (nb, 4, B) sorted sources — rows 0-2 coords (world), row
@@ -1503,10 +1636,22 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
     counts are clamped to the list width in all modes, so callers whose
     counts reflect pre-truncation hits (the _SB_WIDTH_CAP nearest-
     superblock truncation) are safe by construction.
+
+    `inkernel_bits=True` (requires `rowq` (S, 8) receiver bbox
+    cen/ext/max-cap/max-hm and `mtab` (nb, 8) member bbox cen/ext/bhm)
+    computes the member skip test IN-KERNEL during sweep 0 — caching
+    the packed words in SMEM scratch for later sweeps — instead of
+    reading a precomputed member-level `bits` array.  Callers pair it
+    with stage-A superblock-hull bits (stream_skip_bits(agg=True)) +
+    compact_sb_lists_agg, eliminating the full-width member-level XLA
+    bits pass.  Outputs are exactly equal either way: the conservative
+    hull tests only decide which all-zero tiles are skipped.
     """
     S, M = cand.shape
     nb = src_blocks.shape[0]
     f32 = jnp.float32
+    if inkernel_bits and (rowq is None or mtab is None):
+        raise ValueError("inkernel_bits=True requires rowq and mtab")
     # pad the list width so expanded block counts land on 16 (the skip
     # word packing) and on _FAN (the group loop)
     mult = 2 if sb_mode else 16
@@ -1529,7 +1674,9 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
     m_blocks = M * _FAN if sb_mode else M
     nw = m_blocks // 16
 
-    if bits is None:
+    if inkernel_bits:
+        bits = jnp.zeros((S, 1), jnp.int32)   # unused; computed in-kernel
+    elif bits is None:
         # pack per-block skips inline (small problems / tests; at scale
         # callers precompute via stream_skip_bits to bound temporaries)
         qscale = float(2 ** 22) / float(boxsize)
@@ -1568,21 +1715,27 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
 
     kern = partial(_stream_kernel, kernel, float(desnngb), float(mpart),
                    float(boxsize), n_sweeps, nb if sb_mode else 0,
-                   do_disp)
+                   do_disp, inkernel_bits)
 
-    def imap_s(s, cand_ref, cnt_ref, bits_ref, cen_ref, pos_ref):
+    def imap_s(s, *prefetch):
         return (s, 0, 0)
 
-    if cand_pos is None:
+    if inkernel_bits:
+        # the in-kernel test keys the SMEM cache by LIST position —
+        # no slot map back to original bits positions is needed
+        cand_pos = jnp.zeros((S, 1), jnp.int32)
+    elif cand_pos is None:
         cand_pos = jnp.broadcast_to(
             jnp.arange(M, dtype=jnp.int32), (S, M))
+    pw = cand_pos.shape[1]
+    bw = bits.shape[1]
     sc = _row_chunks(S, 2 * M + nw)
     nchunk = -(-S // sc)
     s_pad = nchunk * sc
     cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
         nchunk, sc, M)
     pos_c = _pad_rows(cand_pos.astype(jnp.int32), s_pad).reshape(
-        nchunk, sc, M)
+        nchunk, sc, pw)
     # clamp counts to the list width: rows truncated at build time
     # (_SB_WIDTH_CAP nearest-superblock lists) report their TRUE hit
     # count — without the clamp the group loop would index past the
@@ -1590,7 +1743,10 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
     cnt_c = jnp.concatenate(
         [jnp.minimum(cnt.astype(jnp.int32), M),
          jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
-    bits_c = _pad_rows(bits, s_pad).reshape(nchunk, sc, nw)
+    bits_c = _pad_rows(bits, s_pad).reshape(nchunk, sc, bw)
+    if rowq is None:
+        rowq = jnp.zeros((S, 8), f32)
+    rowq_c = _pad_rows(rowq.astype(f32), s_pad).reshape(nchunk, sc, 8)
     # per-row reference point for the in-kernel wrap hoisting (the row
     # bbox centre, crudely quantized — it only needs to be well inside
     # box/2 of every in-range pair) + the hoisted-wrap validity flag
@@ -1614,7 +1770,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
               for r in recvs]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(sc,),
         in_specs=(
             [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(6)]
@@ -1625,6 +1781,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
             pltpu.VMEM((_SLOTS * _FAN * 4, BLOCK), f32),
             pltpu.VMEM((BLOCK, 8), f32),
             pltpu.VMEM((5 * BLOCK, BLOCK), f32),
+            pltpu.SMEM((max(nw, 1),), jnp.int32),
             pltpu.SemaphoreType.DMA(
                 (_SLOTS,) if sb_mode else (_SLOTS * _FAN,)),
         ],
@@ -1640,9 +1797,20 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
             src_flat = jnp.concatenate(
                 [src_flat, jnp.zeros((need - src_flat.shape[0],
                                       src_flat.shape[1]), f32)])
+    if inkernel_bits:
+        # member geometry table, padded to the (superblock-aligned)
+        # source grid; padded members carry bhm=0 and contribute only
+        # zero-hm masked tiles if ever kept
+        nbt = src_flat.shape[0] // 4 if sb_mode else nb
+        mtab_pad = mtab.astype(f32)
+        if mtab_pad.shape[0] < nbt:
+            mtab_pad = jnp.concatenate(
+                [mtab_pad, jnp.zeros((nbt - mtab_pad.shape[0], 8), f32)])
+    else:
+        mtab_pad = jnp.zeros((8, 8), f32)
 
     def run_chunk(chunk):
-        args = list(chunk) + [src_flat]
+        args = list(chunk[:6]) + [mtab_pad] + list(chunk[6:]) + [src_flat]
         (o,) = pl.pallas_call(
             kern, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((sc, BLOCK, 8), f32)],
@@ -1651,7 +1819,7 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
         return o
 
     out = jax.lax.map(run_chunk,
-                      tuple([cand_c, cnt_c, bits_c, cen_c, pos_c]
+                      tuple([cand_c, cnt_c, bits_c, cen_c, pos_c, rowq_c]
                             + recv_c))
     out = out.reshape(-1, BLOCK, 8)[:S]
     rho, h, vf, wk, done_f = (out[:, :, k] for k in range(5))
