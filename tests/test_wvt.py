@@ -159,3 +159,41 @@ def test_wvt_loop_inkernel_bits_wiring(monkeypatch):
                                   np.asarray(new.rho))
     np.testing.assert_array_equal(np.asarray(ref.hsml),
                                   np.asarray(new.hsml))
+
+
+def test_wvt_large_path_inkernel_bits_wiring(monkeypatch):
+    """Same A/B through the LARGE-N slab iteration (_make_large_iter_fn,
+    forced by shrinking _LARGE_N): the per-slab stage-A hull bits +
+    in-kernel member test must reproduce the per-slab precomputed-bits
+    iteration exactly."""
+    from functools import partial
+
+    from toycluster_tpu.ops import pallas_pair
+
+    monkeypatch.setenv("TOYCLUSTER_ENGINE", "pallas")
+    monkeypatch.setattr(wvt, "_LARGE_N", 1000)
+    monkeypatch.setattr(
+        pallas_pair, "stream_wvt_pallas",
+        partial(pallas_pair.stream_wvt_pallas, interpret=True))
+
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=3000, wvt_max_iter=2, sph_kernel="m4")
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    key = jax.random.PRNGKey(5)
+    parts0 = pos_mod.make_positions(key, scene, ha)
+    parts0 = pos_mod.shift_origin(parts0, ha, scene.boxsize)
+
+    def run(ik):
+        monkeypatch.setattr(wvt, "_IK_BITS", ik)
+        return wvt.regularise_sph_particles(scene, ha, parts0,
+                                            log=silent_log)
+
+    ref = run(False)
+    new = run(True)
+    np.testing.assert_array_equal(np.asarray(ref.pos),
+                                  np.asarray(new.pos))
+    np.testing.assert_array_equal(np.asarray(ref.rho),
+                                  np.asarray(new.rho))
+    np.testing.assert_array_equal(np.asarray(ref.hsml),
+                                  np.asarray(new.hsml))

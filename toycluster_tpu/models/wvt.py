@@ -160,7 +160,8 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
     dispatch so peak HBM scales with the slab, not the particle count.
     A few extra dispatches (~20 ms each) are noise against the tens of
     seconds such an iteration takes."""
-    from ..ops.pallas_pair import stream_skip_bits, stream_wvt_pallas
+    from ..ops.pallas_pair import (compact_sb_lists_agg,
+                                   stream_skip_bits, stream_wvt_pallas)
 
     nb = n_padded // blk.BLOCK
     pad = n_padded - n_gas
@@ -243,18 +244,49 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
             pos_gas, h_prev, rhom_prev, h_cap_pad, ha, n_gas_d)
         cap_b = cap_eff_pad.reshape(nb, blk.BLOCK)
         cnt_all = jnp.minimum(count, cand_idx.shape[1])
+        if _IK_BITS:
+            # member geometry table shared by every slab (see the
+            # standard-path _IK_BITS branch for the scheme)
+            cen_blk = 0.5 * (bb_lo + bb_hi)
+            ext_blk = 0.5 * (bb_hi - bb_lo)
+            mtab = jnp.concatenate(
+                [cen_blk, ext_blk, bhm[:, None],
+                 jnp.zeros((nb, 1), jnp.float32)],
+                axis=1).astype(jnp.float32)
         outs = [[] for _ in range(5)]  # rho, h, vf, done, delta
         for s0 in range(0, nb, _SLAB):
             s1 = min(s0 + _SLAB, nb)
             ids = jnp.arange(s0, s1, dtype=jnp.int32)
-            bits, safe = stream_skip_bits(
-                bb_lo, bb_hi, bhm, ids, cand_idx[s0:s1], cap_b[s0:s1],
-                hm_b[s0:s1], float(boxsize), sb=True)
-            rho_s, h_s2, vf_s, _wk, done_s, delta_s = stream_wvt_pallas(
-                src, cand_idx[s0:s1], cnt_all[s0:s1], src[s0:s1, :3, :],
-                h0_b[s0:s1], cap_b[s0:s1], hm_b[s0:s1], float(mpart),
-                float(boxsize), kernel=kernel, desnngb=desnngb,
-                sb_mode=True, bits=bits, safe=safe)
+            if _IK_BITS:
+                bits_sb, safe = stream_skip_bits(
+                    bb_lo, bb_hi, bhm, ids, cand_idx[s0:s1],
+                    cap_b[s0:s1], hm_b[s0:s1], float(boxsize), agg=True)
+                cand_it, cnt_it = compact_sb_lists_agg(
+                    cand_idx[s0:s1], cnt_all[s0:s1], bits_sb,
+                    do_disp=True)
+                rowq = jnp.concatenate(
+                    [cen_blk[s0:s1], ext_blk[s0:s1],
+                     cap_b[s0:s1].max(axis=1)[:, None],
+                     hm_b[s0:s1].max(axis=1)[:, None]],
+                    axis=1).astype(jnp.float32)
+                rho_s, h_s2, vf_s, _wk, done_s, delta_s = \
+                    stream_wvt_pallas(
+                        src, cand_it, cnt_it, src[s0:s1, :3, :],
+                        h0_b[s0:s1], cap_b[s0:s1], hm_b[s0:s1],
+                        float(mpart), float(boxsize), kernel=kernel,
+                        desnngb=desnngb, sb_mode=True, safe=safe,
+                        rowq=rowq, mtab=mtab, inkernel_bits=True)
+            else:
+                bits, safe = stream_skip_bits(
+                    bb_lo, bb_hi, bhm, ids, cand_idx[s0:s1],
+                    cap_b[s0:s1], hm_b[s0:s1], float(boxsize), sb=True)
+                rho_s, h_s2, vf_s, _wk, done_s, delta_s = \
+                    stream_wvt_pallas(
+                        src, cand_idx[s0:s1], cnt_all[s0:s1],
+                        src[s0:s1, :3, :], h0_b[s0:s1], cap_b[s0:s1],
+                        hm_b[s0:s1], float(mpart), float(boxsize),
+                        kernel=kernel, desnngb=desnngb,
+                        sb_mode=True, bits=bits, safe=safe)
             for o, r in zip(outs, (rho_s, h_s2, vf_s, done_s, delta_s)):
                 o.append(r)
         rho, hsml, vf, done, delta = (jnp.concatenate(o) for o in outs)
