@@ -197,3 +197,36 @@ def test_wvt_large_path_inkernel_bits_wiring(monkeypatch):
                                   np.asarray(new.rho))
     np.testing.assert_array_equal(np.asarray(ref.hsml),
                                   np.asarray(new.hsml))
+
+
+def test_find_sph_quantities_inkernel_bits_wiring(monkeypatch):
+    """TOYCLUSTER_IK_BITS through the standalone density pass
+    (find_sph_quantities, sph.c:13-75): exact equality with the
+    precomputed-bits stream path."""
+    from functools import partial
+
+    from toycluster_tpu.ops import pallas_pair
+
+    monkeypatch.setenv("TOYCLUSTER_ENGINE", "pallas")
+    monkeypatch.setattr(
+        pallas_pair, "stream_wvt_pallas",
+        partial(pallas_pair.stream_wvt_pallas, interpret=True))
+
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=3000, sph_kernel="m4")
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    key = jax.random.PRNGKey(9)
+    parts0 = pos_mod.make_positions(key, scene, ha)
+    parts0 = pos_mod.shift_origin(parts0, ha, scene.boxsize)
+
+    def run(ik):
+        monkeypatch.setattr(sph_mod, "_IK_BITS", ik)
+        return sph_mod.find_sph_quantities(scene, ha, parts0)
+
+    ref = run(False)
+    new = run(True)
+    np.testing.assert_array_equal(np.asarray(ref.rho),
+                                  np.asarray(new.rho))
+    np.testing.assert_array_equal(np.asarray(ref.hsml),
+                                  np.asarray(new.hsml))

@@ -30,6 +30,8 @@ from ..scene import Scene
 
 _CAP_FACTOR = 1.2      # candidate radius margin over the model-based h0
 _MAX_REBUILDS = 5
+# in-kernel member skip test for the stream engine (see models/wvt.py)
+_IK_BITS = int(os.environ.get("TOYCLUSTER_IK_BITS", "0")) > 0
 _MS_CAP = 512          # superblock-budget ceiling: rows needing more go
 #                        to the exact superblock-granular tail path
 _SB_WIDTH_CAP = int(os.environ.get("TOYCLUSTER_SB_WIDTH_CAP", "1536"))
@@ -577,18 +579,48 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
                 # one full-row superblock-granular call: per-block
                 # distance bounds (exact here — positions fixed during
                 # the solve) prune the non-hit member blocks in-kernel
-                from ..ops.pallas_pair import stream_skip_bits
+                from ..ops.pallas_pair import (compact_sb_lists_agg,
+                                               stream_skip_bits)
                 ids_all = jnp.arange(nb, dtype=jnp.int32)
-                bk = state.buckets or (None, None)
-                bits, safe = stream_skip_bits(
-                    bi.bb_lo, bi.bb_hi, None, ids_all, state.cand.idx,
-                    cap_b, None, float(boxsize), sb=True,
-                    bucket_ids=bk[0], bucket_widths=bk[1])
-                rho, h, vf, wk, done, _ = stream_wvt_pallas(
-                    src_blocks, state.cand.idx, state.cand.count, pos_t,
-                    h0_b, cap_b, h0_b, float(mpart), float(boxsize),
-                    kernel=cfg.sph_kernel, desnngb=desnngb,
-                    do_disp=False, sb_mode=True, bits=bits, safe=safe)
+                if _IK_BITS:
+                    # stage-A hull bits + in-kernel member test (see
+                    # models/wvt.py _IK_BITS branch); density-only, so
+                    # the hm/bhm columns are zeros
+                    bits_sb, safe = stream_skip_bits(
+                        bi.bb_lo, bi.bb_hi, None, ids_all,
+                        state.cand.idx, cap_b, None, float(boxsize),
+                        agg=True)
+                    cand_it, cnt_it = compact_sb_lists_agg(
+                        state.cand.idx, state.cand.count, bits_sb,
+                        do_disp=False)
+                    cen_blk = 0.5 * (bi.bb_lo + bi.bb_hi)
+                    ext_blk = 0.5 * (bi.bb_hi - bi.bb_lo)
+                    zeros = jnp.zeros((nb, 1), jnp.float32)
+                    rowq = jnp.concatenate(
+                        [cen_blk, ext_blk, cap_b.max(axis=1)[:, None],
+                         zeros], axis=1).astype(jnp.float32)
+                    mtab = jnp.concatenate(
+                        [cen_blk, ext_blk, zeros, zeros],
+                        axis=1).astype(jnp.float32)
+                    rho, h, vf, wk, done, _ = stream_wvt_pallas(
+                        src_blocks, cand_it, cnt_it, pos_t,
+                        h0_b, cap_b, h0_b, float(mpart),
+                        float(boxsize), kernel=cfg.sph_kernel,
+                        desnngb=desnngb, do_disp=False, sb_mode=True,
+                        safe=safe, rowq=rowq, mtab=mtab,
+                        inkernel_bits=True)
+                else:
+                    bk = state.buckets or (None, None)
+                    bits, safe = stream_skip_bits(
+                        bi.bb_lo, bi.bb_hi, None, ids_all,
+                        state.cand.idx, cap_b, None, float(boxsize),
+                        sb=True, bucket_ids=bk[0], bucket_widths=bk[1])
+                    rho, h, vf, wk, done, _ = stream_wvt_pallas(
+                        src_blocks, state.cand.idx, state.cand.count,
+                        pos_t, h0_b, cap_b, h0_b, float(mpart),
+                        float(boxsize), kernel=cfg.sph_kernel,
+                        desnngb=desnngb, do_disp=False, sb_mode=True,
+                        bits=bits, safe=safe)
                 sat = (~done) | (h >= cap_b * 0.999)
                 return [rho.reshape(-1), h.reshape(-1), vf.reshape(-1),
                         wk.reshape(-1), done.reshape(-1),
