@@ -119,6 +119,34 @@ def main():
     timed("stream kernel (1 sweep + disp)",
           lambda: stream_wvt_pallas(*args, **kw, n_sweeps=1))
 
+    # ---- in-kernel member test path (TOYCLUSTER_IK_BITS) ----
+    from toycluster_tpu.ops.pallas_pair import compact_sb_lists_agg
+    bits_sb, safe_a = timed(
+        "ik: stage-A hull bits (agg)", lambda: stream_skip_bits(
+            bi.bb_lo, bi.bb_hi, bhm, ids, state.cand.idx, cap_b, hm_b,
+            float(boxsize), agg=True))
+    cand_it, cnt_it = timed(
+        "ik: compact_sb_lists_agg", lambda: compact_sb_lists_agg(
+            state.cand.idx, cnt, bits_sb, do_disp=True))
+    print(f"{'  kept sb frac (stage-A)':44s} "
+          f"{float(jnp.sum(cnt_it) / jnp.maximum(jnp.sum(jnp.minimum(cnt, state.cand.idx.shape[1])), 1)):9.4f}")
+    cen_blk = 0.5 * (bi.bb_lo + bi.bb_hi)
+    ext_blk = 0.5 * (bi.bb_hi - bi.bb_lo)
+    rowq = jnp.concatenate(
+        [cen_blk, ext_blk, cap_b.max(axis=1)[:, None],
+         hm_b.max(axis=1)[:, None]], axis=1).astype(jnp.float32)
+    mtab = jnp.concatenate(
+        [cen_blk, ext_blk, bhm[:, None],
+         jnp.zeros((nb, 1), jnp.float32)], axis=1).astype(jnp.float32)
+    kw_ik = dict(kernel=cfg.sph_kernel, desnngb=desnngb, sb_mode=True,
+                 safe=safe_a, rowq=rowq, mtab=mtab, inkernel_bits=True)
+    args_ik = (src, cand_it, cnt_it, pos_t, h0_b, cap_b, hm_b,
+               float(mpart), float(boxsize))
+    timed("ik: stream kernel (density+disp)",
+          lambda: stream_wvt_pallas(*args_ik, **kw_ik))
+    timed("ik: stream kernel (density only)",
+          lambda: stream_wvt_pallas(*args_ik, **kw_ik, do_disp=False))
+
     # ---- the production whole-iteration program (mega-jit) ----
     if sph_mod._engine() == "pallas":
         beta_u = sph_mod.uniform_beta(scene)
