@@ -153,3 +153,49 @@ def test_curl_matches_brute_force(cloud, solved):
     scale = np.abs(np.asarray(b_brute)).max()
     np.testing.assert_allclose(b_blk, np.asarray(b_brute), rtol=5e-3,
                                atol=1e-4 * scale)
+
+
+def test_corner_lanes_grow_past_box_third():
+    """Tiny-N periodic corner lanes need h beyond boxsize/3 to collect
+    DESNNGB neighbours across the wrap — the reference's grow loop is
+    unbounded (sph.c:36-64), so the contract must still close there.
+    Regression: the old global boxsize/3 escape hatch left 0.9% of
+    config-1 (32^3) lanes 100+ neighbours short (FLAGSHIP_r04_config1).
+    """
+    from toycluster_tpu import parse_par_file
+    from toycluster_tpu.models import positions as pos_mod
+    from toycluster_tpu.models import sph as sph_mod
+    from toycluster_tpu.particles import halo_arrays_from_scene
+    from toycluster_tpu.scene import build_scene
+
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=8000, sph_kernel="m4")
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    parts = pos_mod.make_positions(jax.random.PRNGKey(11), scene, ha)
+    parts = pos_mod.shift_origin(parts, ha, scene.boxsize)
+    parts = sph_mod.find_sph_quantities(scene, ha, parts)
+
+    h = np.asarray(parts.hsml[:parts.n_gas])
+    rho = np.asarray(parts.rho[:parts.n_gas])
+    wk = const.FOURPITHIRD * h ** 3 * rho / scene.mpart_gas
+    dev = np.abs(wk - cfg.desnngb)
+    # adaptive cap must be in play (lanes genuinely past box/3)...
+    assert (h > scene.boxsize / 3.0).sum() > 0
+    assert h.max() < 0.5 * scene.boxsize  # min-image validity limit
+    # ...and the contract must close for every lane (m4 has no bias
+    # correction, so wk here is the solver's own convergence target)
+    assert (dev < const.NNGBDEV + 1e-3).mean() >= 0.999
+
+
+def test_hard_h_cap_thresholds():
+    from toycluster_tpu.models.sph import _SB_WIDTH_CAP, hard_h_cap
+
+    box = 1000.0
+    # whole domain within one candidate row -> min-image limit
+    assert hard_h_cap(box, 4000) == pytest.approx(0.49 * box)
+    n_small = _SB_WIDTH_CAP * blk.BLOCK * blk.SUPER
+    assert hard_h_cap(box, n_small) == pytest.approx(0.49 * box)
+    # beyond it -> the box/3 escape hatch (all-to-all unaffordable)
+    assert hard_h_cap(box, n_small + blk.BLOCK * blk.SUPER) \
+        == pytest.approx(box / 3.0)

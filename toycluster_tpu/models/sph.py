@@ -46,6 +46,32 @@ _SB_WIDTH_CAP = int(os.environ.get("TOYCLUSTER_SB_WIDTH_CAP", "1536"))
 #                        plays the same role, globals.h:50)
 
 
+def hard_h_cap(boxsize: float, n_gas: int) -> float:
+    """Global hsml escape hatch for the density solve.
+
+    The reference's outer grow-and-research loop is UNBOUNDED
+    (sph.c:36-64): it keeps enlarging hsml — across the periodic wrap —
+    until every particle meets the |wkNgb-DESNNGB| contract.  The block
+    engine needs a bound because candidate radii approaching the box
+    make every superblock a candidate of every other:
+
+    * large N: clamp at boxsize/3 (lanes this extreme accept their
+      capped h — the reference's NGBMAX truncation plays the same
+      role, globals.h:50).  No production-scale lane has ever needed
+      more (contract 1.0 at 1e6-1e8).
+    * small N (whole domain fits one candidate row, i.e. the superblock
+      count is within _SB_WIDTH_CAP — true below ~1.5e6 gas): all-to-all
+      candidate coverage is already affordable, so the cap rises to
+      0.49*boxsize, the min-image validity limit.  Box-corner lanes in
+      tiny-N configs (config 1: 32^3) genuinely need h beyond box/3 to
+      collect DESNNGB neighbours across the wrap; capping them at box/3
+      left 0.9% of config-1 lanes 100+ neighbours short.
+    """
+    n_blocks = -(-max(int(n_gas), 1) // blk.BLOCK)
+    n_sb = -(-n_blocks // blk.SUPER)
+    return 0.49 * boxsize if n_sb <= _SB_WIDTH_CAP else boxsize / 3.0
+
+
 def _engine() -> str:
     """Density-solve engine: 'xla' (ops/pair_ops, default off-TPU) or
     'pallas' (ops/pallas_pair fused kernel)."""
@@ -552,13 +578,12 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
     h0 = jnp.where(h_prev > 0, h_prev, h0_model)
 
     cap_factor = _CAP_FACTOR
+    h_hard = hard_h_cap(boxsize, n_gas)
     for attempt in range(_MAX_REBUILDS):
-        # global escape hatch: candidate radii beyond ~boxsize/3 would make
-        # every block a candidate of every other; particles this extreme
-        # accept their capped h (the reference's NGBMAX cap plays the same
-        # role, globals.h:50)
+        # global escape hatch (see hard_h_cap): particles at the clamp
+        # accept their capped h
         h_cap_gas = jnp.minimum(jnp.maximum(h0, h0_model) * cap_factor,
-                                boxsize / 3.0)
+                                h_hard)
         state = build_neighbours(pos_gas, h_cap_gas, boxsize)
         bi = state.index
         h0_sorted = _pad_sorted(h0, bi.order, bi.n_padded)
@@ -644,7 +669,7 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
             res = pair_ops.DensityResult(
                 *run_classed(state, density_class, density_tail))
         # particles whose cap hit the global clamp keep their capped h
-        still_growable = state.h_cap < (boxsize / 3.0) * 0.999
+        still_growable = state.h_cap < h_hard * 0.999
         n_sat = int((res.saturated & still_growable)[:n_gas].sum())
         if n_sat == 0:
             break

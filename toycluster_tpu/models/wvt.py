@@ -41,6 +41,10 @@ REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 8))
 # default until TPU A/B confirms the scalar-unit work hides under the
 # VPU tile stream; outputs are exactly equal either way.
 _IK_BITS = int(_os.environ.get("TOYCLUSTER_IK_BITS", "0")) > 0
+# superblock-list compaction budget in candidate ELEMENTS (the copies
+# cost 8 B/element); 0 disables compaction outright for HBM-tight runs
+_COMPACT_BUDGET = int(_os.environ.get(
+    "TOYCLUSTER_COMPACT_BUDGET", str(1 << 27)))
 _SYM_MARGIN = 1.1       # displacement-radius slack for inter-build drift
 _FAC_MAX = 2.0          # cap-ratchet ceiling (see fac_gas note below)
 # enforced inter-build drift budget: a pair's separation changes by at
@@ -210,7 +214,8 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
                  step, err_last, it_d):
         valid = jnp.arange(n_padded) < n_gas_d
         done = done_f > 0.5
-        still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
+        still_growable = h_cap_pad < sph_mod.hard_h_cap(
+            boxsize, n_gas) * 0.999
         saturated = (~done) | (hsml >= cap_eff_pad * 0.999)
         growable = fac_gas < _FAC_MAX * 0.999
         gpad = jnp.concatenate(
@@ -427,8 +432,10 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                 # (cand_it + pos_it) double the width-proportional live
                 # memory, which 1e8 configs cannot spare (~2 GB at
                 # width 320) for a ~2.5% kernel win — skip compaction
-                # above ~600 MB of copies.
-                if cand_idx.shape[0] * cand_idx.shape[1] <= (1 << 27):
+                # above ~600 MB of copies (TOYCLUSTER_COMPACT_BUDGET
+                # elements; 0 disables compaction — HBM-tight configs).
+                if cand_idx.shape[0] * cand_idx.shape[1] <= \
+                        _COMPACT_BUDGET:
                     cand_it, pos_it, cnt_it = compact_sb_lists(
                         cand_idx, cnt_all, bits, do_disp=True)
                 else:
@@ -507,7 +514,8 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
         # saturation against the cap the solver actually used: lanes
         # clamped at the warm-h margin self-heal next iteration (their
         # h_prev moves to the clamped h, buying another margin factor)
-        still_growable = h_cap_pad < (boxsize / 3.0) * 0.999
+        still_growable = h_cap_pad < sph_mod.hard_h_cap(
+            boxsize, n_gas) * 0.999
         saturated = (~done) | (hsml >= cap_eff_pad * 0.999)
         n_sat = jnp.where(valid & saturated & still_growable
                           & pad1(growable), 1, 0).sum()
@@ -702,7 +710,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                                         fac_gas)
                 h_cap_gas = jnp.minimum(
                     jnp.maximum(h0, h0_model) * fac_gas,
-                    boxsize / 3.0)
+                    sph_mod.hard_h_cap(boxsize, n_gas))
                 state = sph_mod.build_neighbours(
                     pos_gas, h_cap_gas, boxsize,
                     radius_sym_gas=h_box * boxsize * _SYM_MARGIN)
@@ -747,10 +755,14 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                     tail_shape=tail_shape, beta=beta_u)
                 its_since_build = 0
                 drift_acc = 0.0
+                mem = (jax.local_devices()[0].memory_stats() or {})
                 log("wvt_build", it=it, attempt=attempt,
                     max_cand=state.max_cand, classes=class_shape,
                     tail=tail_shape,
-                    n_sat=int(n_sat_d) if attempt else 0)
+                    n_sat=int(n_sat_d) if attempt else 0,
+                    hbm_gib=round(mem.get("bytes_in_use", 0) / 2**30, 2),
+                    hbm_peak_gib=round(
+                        mem.get("peak_bytes_in_use", 0) / 2**30, 2))
 
             if pending is not None and pending[0] == it:
                 out = pending[1]

@@ -64,7 +64,7 @@ from ..ops.blocks import BLOCK, BlockIndex, _interval_dist2
 from ..ops.pallas_pair import _FAN, stream_skip_bits, stream_wvt_pallas
 from ..ops.keys import hilbert_order
 from ..particles import HaloArrays
-from ..models.sph import global_density_model
+from ..models.sph import global_density_model, hard_h_cap
 
 _CAP_FACTOR = 1.35   # candidate-radius margin over the warm-start hsml
 _CAND_CHUNK = 64     # receiver blocks per candidate-sweep chunk
@@ -170,7 +170,8 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
             hprev_l > 0, hprev_l * _warm_ratio(rho_model_l, rhomp_l),
             h0_model_l)
         cap_l = jnp.minimum(jnp.maximum(h_guess_l, h0_model_l)
-                            * _CAP_FACTOR, boxsize / 3.0)
+                            * _CAP_FACTOR,
+                            hard_h_cap(boxsize, n_real))
 
         # WVT metric hsml, global volume renorm (wvt_relax.c:108-124)
         hm_l = h0_model_l
