@@ -193,26 +193,28 @@ def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
 
 def shift_origin(parts: Particles, ha: HaloArrays, boxsize: float
                  ) -> Particles:
-    """Move halos to their CoM offsets, add bulk velocities, shift the origin
-    to the box corner and wrap periodically (setup.c:427-500)."""
-    pos, vel = _shift_origin_jit(parts.pos, parts.vel, parts.halo,
-                                 ha.d_com, ha.bulk_vel, boxsize)
-    return parts._replace(pos=pos, vel=vel)
+    """Move halos to their CoM offsets, shift the origin to the box
+    corner and wrap periodically (setup.c:427-500).  The reference adds
+    the bulk velocities here too; this pipeline defers them to the
+    velocity stage (velocities.add_bulk_velocities) — nothing between
+    the two reads vel, halo ids ride every permutation, and the deferral
+    keeps the lazy (0, 3) vel unallocated through the WVT loop."""
+    pos = _shift_origin_jit(parts.pos, parts.halo, ha.d_com, boxsize)
+    return parts._replace(pos=pos)
 
 
 @jax.jit
-def _shift_origin_jit(pos, vel, halo, d_com, bulk_vel, boxsize):
+def _shift_origin_jit(pos, halo, d_com, boxsize):
     # per-COLUMN gathers on purpose: a (N, 3) gather output (eager or
     # fused) gets tile-padded 3 -> 128 lanes on this TPU backend — a
     # 51 GB allocation at 1e8.  (N,) takes tile normally.
-    cols_p, cols_v = [], []
+    cols_p = []
     for d in range(3):
         sh = jnp.take(d_com[:, d], halo)
         pd = pos[:, d] + sh + boxsize / 2.0
         pd = pd - jnp.floor(pd / boxsize) * boxsize
         cols_p.append(pd)
-        cols_v.append(vel[:, d] + jnp.take(bulk_vel[:, d], halo))
-    return jnp.stack(cols_p, axis=1), jnp.stack(cols_v, axis=1)
+    return jnp.stack(cols_p, axis=1)
 
 
 def reassign_gas_to_halos(parts: Particles, ha: HaloArrays, boxsize: float,
@@ -233,7 +235,9 @@ def reassign_gas_to_halos(parts: Particles, ha: HaloArrays, boxsize: float,
         return arr[order] if arr.shape[0] == n_gas else arr
 
     new = parts._replace(
-        pos=permute_gas(parts.pos), vel=permute_gas(parts.vel),
+        pos=permute_gas(parts.pos),
+        vel=(permute_gas(parts.vel) if parts.vel.shape[0]
+             else parts.vel),
         pid=permute_gas(parts.pid),
         halo=parts.halo.at[:n_gas].set(owner[order]),
         u=permute_gasonly(parts.u), rho=permute_gasonly(parts.rho),

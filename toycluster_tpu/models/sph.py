@@ -135,7 +135,9 @@ def permute_gas(parts: Particles, order) -> Particles:
         return arr[order] if arr.shape[0] == n_gas else arr
 
     return parts._replace(
-        pos=perm(parts.pos), vel=perm(parts.vel), pid=perm(parts.pid),
+        pos=perm(parts.pos),
+        vel=(perm(parts.vel) if parts.vel.shape[0] else parts.vel),
+        pid=perm(parts.pid),
         halo=perm(parts.halo), u=perm_gas(parts.u),
         rho=perm_gas(parts.rho), hsml=perm_gas(parts.hsml),
         var_hsml_fac=perm_gas(parts.var_hsml_fac),

@@ -209,12 +209,31 @@ def slow_substructure_bulk_velocities(scene: Scene, host_df, rng) -> list:
     return bulks
 
 
+def add_bulk_velocities(parts: Particles, ha: HaloArrays) -> Particles:
+    """The Shift_Origin bulk-velocity add (setup.c:452-467), DEFERRED to
+    the velocity stage so the lazy (0, 3) vel array stays unallocated
+    through the WVT loop (1.2 GB at 1e8 total particles).  Behaviour
+    parity note: the reference adds BulkVel here AND again in
+    Make_velocities (gas: velocities.c:119-151; DM's copy is overwritten
+    by the sampled assignment at velocities.c:100), so host gas ends at
+    2x BulkVel — both adds are reproduced, in the reference's order."""
+    vel = parts.vel
+    if vel.shape[0] != parts.n_total:
+        vel = jnp.zeros((parts.n_total, 3), jnp.float32)
+    # per-COLUMN gathers (see positions._shift_origin_jit note)
+    vel = jnp.stack(
+        [vel[:, d] + jnp.take(ha.bulk_vel[:, d], parts.halo)
+         for d in range(3)], axis=1)
+    return parts._replace(vel=vel)
+
+
 def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
                     ) -> Particles:
     """Assign DM peculiar velocities per halo, then add bulk velocities
     (gas of subhalos tapered by a WC2 kernel weight) (velocities.c:38-159).
     """
     boxhalf = scene.boxhalf
+    parts = add_bulk_velocities(parts, ha)
     vel = parts.vel
     n_gas = scene.npart_gas
     cfg = scene.config

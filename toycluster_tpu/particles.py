@@ -52,7 +52,11 @@ def empty_particles(n_gas: int, n_dm: int) -> Particles:
     n = n_gas + n_dm
     f3 = jnp.zeros((n, 3), jnp.float32)
     return Particles(
-        pos=f3, vel=f3, pid=jnp.zeros((n,), jnp.uint32),
+        # vel is LAZY like bfld/apot (allocated by the velocity stage,
+        # velocities.add_bulk_velocities): nothing reads it before then
+        # and a (1e8, 3) zeros buffer costs 1.2 GB through the WVT loop
+        pos=f3, vel=jnp.zeros((0, 3), jnp.float32),
+        pid=jnp.zeros((n,), jnp.uint32),
         halo=jnp.zeros((n,), jnp.int32),
         u=jnp.zeros((n_gas,), jnp.float32),
         rho=jnp.zeros((n_gas,), jnp.float32),
