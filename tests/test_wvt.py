@@ -230,3 +230,31 @@ def test_find_sph_quantities_inkernel_bits_wiring(monkeypatch):
                                   np.asarray(new.rho))
     np.testing.assert_array_equal(np.asarray(ref.hsml),
                                   np.asarray(new.hsml))
+
+
+def test_offload_path_equivalence(monkeypatch):
+    """The large-N HBM offload (pid/halo parked on host, DM pos split,
+    zero gas fields dropped) must reproduce the default path exactly:
+    same positions, densities, ids and halo membership after the
+    relaxation, whether parts arrive plain or via the holder list."""
+    cfg = parse_par_file("/root/reference/cluster.par").replace(
+        ntotal=6000, wvt_max_iter=4, sph_kernel="m4")
+    scene = build_scene(cfg)
+    ha = halo_arrays_from_scene(scene)
+    key = jax.random.PRNGKey(23)
+    parts0 = pos_mod.make_positions(key, scene, ha)
+    parts0 = pos_mod.shift_origin(parts0, ha, scene.boxsize)
+
+    def run(offload_n):
+        monkeypatch.setenv("TOYCLUSTER_WVT_OFFLOAD_N", str(offload_n))
+        return wvt.regularise_sph_particles(
+            scene, ha, [parts0], log=silent_log)
+
+    ref = run(10**9)   # threshold never reached: default path
+    new = run(1)       # force the offload path
+    for field in ("pos", "pid", "halo", "rho", "hsml", "var_hsml_fac",
+                  "rho_model", "u"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, field)),
+            np.asarray(getattr(new, field)), err_msg=field)
+    assert new.n_gas == ref.n_gas and new.n_total == ref.n_total

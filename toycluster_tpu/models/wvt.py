@@ -566,10 +566,16 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     loop stopped WITHOUT applying a final move, so parts.rho/hsml/
     var_hsml_fac already hold the full-contract density solve at the
     final positions — the pipeline's find_sph_quantities stage is then
-    redundant (the reference always re-runs it, main.c:52; we skip)."""
+    redundant (the reference always re-runs it, main.c:52; we skip).
+
+    `parts` may arrive as a ONE-ELEMENT LIST (holder): the caller
+    dropped its own reference so that large-N runs can release the
+    particle buffers the loop never reads (see _OFFLOAD_N below)."""
     import numpy as _np
     import os as _os
 
+    if isinstance(parts, list):
+        parts = parts.pop()
     cfg = scene.config
     n_gas = parts.n_gas
     if n_gas == 0:
@@ -604,6 +610,26 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     # standing memory over HBM.
     pos_gas = jnp.array(parts.pos[:n_gas])
     h_prev = jnp.array(parts.hsml[:n_gas])
+    # ---- large-N HBM offload ----------------------------------------
+    # Through the whole relaxation the loop reads ONLY pos[:n_gas] and
+    # hsml[:n_gas] (both copied above).  At 1e8 total particles the
+    # remaining Particles fields pin ~3 GB of HBM doing nothing:
+    # pid+halo (0.8 GB, needed only for the final permute — parked on
+    # host), the DM half of pos (0.6 GB, kept device-side untouched),
+    # and five all-zero gas fields (1 GB, recreated afterwards: u is
+    # first written by the temperature stage, rho/hsml/var_hsml_fac/
+    # rho_model are installed from the loop results).  The caller must
+    # pass `parts` via the holder-list protocol for the buffers to
+    # actually free (a plain argument stays pinned by the caller frame).
+    offload = n_gas >= int(_os.environ.get(
+        "TOYCLUSTER_WVT_OFFLOAD_N", str(20_000_000)))
+    if offload:
+        n_total_off = parts.n_total
+        pid_h = _np.array(parts.pid)    # np.array: device->host COPY
+        halo_h = _np.array(parts.halo)  # (asarray views are read-only)
+        pos_dm_dev = jnp.array(parts.pos[n_gas:])
+        vel_off, bfld_off, apot_off = parts.vel, parts.bfld, parts.apot
+        parts = None
     # model density at each particle's PREVIOUS position (see
     # _warm_ratio); 0 = no prediction (cold start / checkpoint resume).
     # Aliased to the retained rho_model_l after each iteration, so the
@@ -875,6 +901,28 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
 
     # fold the accumulated permutation into the full particle set once,
     # then install the loop results (already in the final order)
+    state = None
+    pending = None
+    if offload:
+        # rebuild Particles from the parked pieces: the gas permutation
+        # is applied host-side to pid/halo (numpy gather, ~1 s at 1e8),
+        # pos is reassembled from the final loop positions + the
+        # untouched DM half, and the zero gas fields are recreated
+        ord_h = _np.asarray(order_acc)
+        pid_h[:n_gas] = pid_h[:n_gas][ord_h]
+        halo_h[:n_gas] = halo_h[:n_gas][ord_h]
+        zeros_g = jnp.zeros((n_gas,), jnp.float32)
+        parts = Particles(
+            pos=jnp.concatenate([pos_gas, pos_dm_dev]),
+            vel=vel_off, pid=jnp.asarray(pid_h),
+            halo=jnp.asarray(halo_h), u=zeros_g,
+            rho=rho_l if rho_l is not None else zeros_g,
+            hsml=hsml_l if hsml_l is not None else zeros_g,
+            var_hsml_fac=vf_l if vf_l is not None else zeros_g,
+            rho_model=(rho_model_l if rho_model_l is not None
+                       else zeros_g),
+            bfld=bfld_off, apot=apot_off)
+        return (parts, fresh) if return_fresh else parts
     parts = sph_mod.permute_gas(parts, order_acc)
     parts = parts._replace(pos=parts.pos.at[:n_gas].set(pos_gas))
     if rho_l is not None:

@@ -74,8 +74,13 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
         from .models import wvt, sph, bfield, temperature
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
+        # holder-list protocol: drop this frame's reference so the WVT
+        # loop can release the particle buffers it never reads (at 1e8
+        # that is ~3 GB of the 16 GB chip — see wvt._OFFLOAD comments)
+        holder = [parts]
+        del parts
         parts, wvt_fresh = wvt.regularise_sph_particles(
-            scene, ha, parts, log=log, checkpoint_path=wvt_checkpoint,
+            scene, ha, holder, log=log, checkpoint_path=wvt_checkpoint,
             return_fresh=True)
         if profile_dir:
             jax.profiler.stop_trace()
