@@ -98,6 +98,7 @@ def main():
         "hbm_peak_bytes": mem.get("peak_bytes_in_use"),
         "hbm_peak_gib": round(mem.get("peak_bytes_in_use", 0) / 2**30, 2),
         "device": str(jax.devices()[0]),
+        "overrides": sys.argv[2:],
         "output_file": cfg.output_file,
         "snapshot_bytes": os.path.getsize(cfg.output_file)
         if os.path.exists(cfg.output_file) else None,

@@ -464,13 +464,22 @@ _CLASS_SIZE_MEMO: dict = {}
 
 def _quantize_size(n: int, nb: int, m: int = 0) -> int:
     """Round a selection size up onto a coarse geometric grid
-    {nb, nb/2, nb/4, ..., 64} so the jit shapes repeat across WVT
+    {nb, nb/4, nb/16, nb/64} so the jit shapes repeat across WVT
     iterations even as class memberships drift; sizes are sticky per
     (class, nb) — a membership wobble across a grid boundary must not
-    recompile the whole-iteration program."""
+    recompile the whole-iteration program.
+
+    The grid is deliberately COARSE with an nb/64 floor: the 1e8
+    config-5 run showed saturation retries walking a fine 2x grid one
+    step per rebuild (95 -> 762 -> 1525 -> 3051 rows), each step a
+    fresh program shape costing a ~3-minute remote recompile.  Padded
+    rows are cnt-gated in every consumer, so over-padding a secondary
+    bucket to nb/64 costs ~3% extra bbox gathers — noise against one
+    recompile."""
     size = max(nb, 64)
-    while size // 2 >= max(n, 64):
-        size //= 2
+    floor = max(n, 64, nb // 64)
+    while size // 4 >= floor:
+        size //= 4
     key = (m, nb)
     prev = _CLASS_SIZE_MEMO.get(key)
     if prev is not None and n <= prev:

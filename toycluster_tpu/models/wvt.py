@@ -34,7 +34,17 @@ ERRDIFF_LIMIT = 0.01    # wvt_relax.c:8
 # flagged `saturated`, which forces a rebuild.
 import os as _os
 
-REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 8))
+REBUILD_EVERY = int(_os.environ.get("TOYCLUSTER_REBUILD_EVERY", 32))
+# full-rebuild trigger on ACCUMULATED drift since the last sort (in
+# units of the local metric h, max-lane): candidate-list refreshes keep
+# pair coverage exact at _DRIFT_BUDGET granularity, so the only reason
+# to re-sort is Hilbert-block compactness decay (swollen bboxes =>
+# more streamed tiles).  Max-lane drift overstates the typical lane by
+# ~5x, so 2.0 here means typical lanes moved ~0.4 h — where the
+# measured tile inflation starts to cost more than the ~1 s build.
+# REBUILD_EVERY stays as a hard cadence cap (env-tunable).
+_SORT_DRIFT_BUDGET = float(_os.environ.get(
+    "TOYCLUSTER_SORT_DRIFT_BUDGET", "2.0"))
 # in-kernel member skip test (stage-A superblock-hull bits + the
 # stream kernel computing member-level tests itself, cached in SMEM):
 # replaces the full-width member-level stream_skip_bits pass.  OFF by
@@ -172,7 +182,8 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
     _SLAB = 65536
 
     @jax.jit
-    def prologue(pos_gas, h_prev, rhom_prev, h_cap_pad, ha, n_gas_d):
+    def prologue(pos_gas, h_prev, rhom_prev, h_cap_pad, sat_mask, ha,
+                 n_gas_d, margin_w):
         rho_model, h0_model, h_box = _model_fields_from_rho(
             sph_mod.global_density_model(pos_gas, ha, boxsize,
                                          cool_core, beta=beta),
@@ -191,10 +202,19 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
         valid = jnp.arange(n_padded) < n_gas_d
         h0_s = pad1(h0)
         hm_s = pad1(h_box)
-        # effective solve/stream cap (see _BITS_MARGIN_*)
-        margin = jnp.where(pad1(h_prev > 0), _BITS_MARGIN_WARM,
+        # effective solve/stream cap (see _BITS_MARGIN_*); lanes flagged
+        # in sat_mask (saturated on the previous attempt) get the FULL
+        # build cap — the margin clamp would otherwise grow them only
+        # 1.1x per rebuild attempt (measured at 1e8: n_sat fell 35%/
+        # attempt and burned through _MAX_REBUILDS).  margin_w is the
+        # HOST-FED adaptive warm margin (see the loop): it escalates
+        # when retries trip so the steady state pays streamed volume,
+        # not double solves
+        margin = jnp.where(pad1(h_prev > 0), margin_w,
                            _BITS_MARGIN_COLD)
-        cap_eff_pad = jnp.minimum(h_cap_pad, h0_s * margin)
+        cap_eff_pad = jnp.where(
+            pad1(sat_mask),
+            h_cap_pad, jnp.minimum(h_cap_pad, h0_s * margin))
         hm_src = jnp.where(valid, hm_s, 0.0)
         pos_t = pos_pad.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
         src = jnp.concatenate(
@@ -239,14 +259,15 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
             jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
         return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], pos_new,
                 rho_model, err.max(), err_mean, n_sat, dmax_rel,
-                step_new, fac_new)
+                step_new, fac_new, saturated[:n_gas])
 
-    def iter_fn(pos_gas, h_prev, rhom_prev, h_cap_pad, cand_idx, count,
-                class_ids, tail, ha, fac_gas, n_gas_d, step, err_last,
-                it_d):
+    def iter_fn(pos_gas, h_prev, rhom_prev, h_cap_pad, sat_mask,
+                margin_w, cand_idx, count, class_ids, tail, ha,
+                fac_gas, n_gas_d, step, err_last, it_d):
         (rho_model, hm_s, h0_b, hm_b, src,
          bb_lo, bb_hi, bhm, cap_eff_pad) = prologue(
-            pos_gas, h_prev, rhom_prev, h_cap_pad, ha, n_gas_d)
+            pos_gas, h_prev, rhom_prev, h_cap_pad, sat_mask, ha,
+            n_gas_d, margin_w)
         cap_b = cap_eff_pad.reshape(nb, blk.BLOCK)
         cnt_all = jnp.minimum(count, cand_idx.shape[1])
         if _IK_BITS:
@@ -326,9 +347,9 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
     pad = n_padded - n_gas
 
     @jax.jit
-    def iter_fn(pos_gas, h_prev, rhom_prev, h_cap_pad, cand_idx, count,
-                class_ids, tail, ha, fac_gas, n_gas_d, step, err_last,
-                it_d):
+    def iter_fn(pos_gas, h_prev, rhom_prev, h_cap_pad, sat_mask,
+                margin_w, cand_idx, count, class_ids, tail, ha,
+                fac_gas, n_gas_d, step, err_last, it_d):
         # n_gas_d: DYNAMIC scalar — a static bound would constant-fold
         # the (n_padded,) iota comparison in the XLA compiler (minutes
         # at 1e7; see positions._census_counts)
@@ -360,10 +381,15 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
         if engine == "pallas":
             # effective cap (see _BITS_MARGIN_*): streamed volume scales
             # with (cap/h)^3, so solve against a tight margin over the
-            # warm h instead of the slack-laden build cap
-            margin = jnp.where(pad1(h_prev > 0), _BITS_MARGIN_WARM,
+            # warm h instead of the slack-laden build cap.  Lanes in
+            # sat_mask (saturated last attempt) get the full build cap;
+            # margin_w is the host-fed adaptive warm margin — see the
+            # large-path prologue note.
+            margin = jnp.where(pad1(h_prev > 0), margin_w,
                                _BITS_MARGIN_COLD)
-            cap_eff_pad = jnp.minimum(h_cap_pad, h0_s * margin)
+            cap_eff_pad = jnp.where(
+                pad1(sat_mask),
+                h_cap_pad, jnp.minimum(h_cap_pad, h0_s * margin))
         else:
             cap_eff_pad = h_cap_pad
         cap_b = cap_eff_pad.reshape(nb, blk.BLOCK)
@@ -546,7 +572,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
         return (rho[:n_gas], hsml[:n_gas], vf[:n_gas], pos_new,
                 rho_model, err.max(), err_mean, n_sat, dmax_rel,
-                step_new, fac_new)
+                step_new, fac_new, saturated[:n_gas])
 
     _ITER_FN_CACHE[key] = iter_fn
     return iter_fn
@@ -649,7 +675,8 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
 
     state = None
     its_since_build = 0
-    drift_acc = 0.0
+    drift_acc = 0.0        # since the last candidate refresh OR build
+    sort_drift_acc = 0.0   # since the last full (re-sorting) build
     iter_fn = None
     class_ids = None
     engine = sph_mod._engine()
@@ -663,6 +690,18 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     # Runaway guard: past _FAC_MAX a lane accepts the cap-clamped h —
     # the reference's NGBMAX=2360 list cap (globals.h:50) role.
     fac_gas = jnp.full((n_gas,), sph_mod._CAP_FACTOR, jnp.float32)
+    # margin-clamp lift mask (all-False on the normal path): lanes that
+    # saturated on a rebuild attempt solve against the FULL build cap on
+    # the retry instead of crawling up at _BITS_MARGIN_WARM per attempt
+    sat_false = jnp.zeros((n_gas,), bool)
+    # host-feedback adaptive warm margin: every retry means the 1.1
+    # clamp mispredicted enough lanes to cost a rebuild + double solve
+    # (~2x an iteration at 1e8, measured 170k lanes/iteration), so the
+    # margin escalates 1.15x per trip (streamed volume rises only
+    # (1.15)^3 = 1.5x for the escalation) and decays after 8 quiet
+    # iterations.  1e6-scale runs never trip it and stay at 1.1.
+    margin_warm = _BITS_MARGIN_WARM
+    quiet_iters = 0
 
     # one-deep speculative pipeline: iteration it+1 is dispatched with
     # it's DEVICE outputs (pos_new, hsml, fac_new, step_new, err_mean)
@@ -686,8 +725,9 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         # displacement pass (the reference builds one tree per iteration
         # and walks it twice, wvt_relax.c:66-171); the structure is
         # reused across REBUILD_EVERY iterations
-        if its_since_build >= REBUILD_EVERY or (
-                state is not None and state.tail is not None):
+        if (its_since_build >= REBUILD_EVERY
+                or sort_drift_acc > _SORT_DRIFT_BUDGET
+                or (state is not None and state.tail is not None)):
             state = None
             pending = None
         elif drift_acc > drift_budget and state is not None:
@@ -722,6 +762,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
 
         grow_mask = None   # per-particle: only saturated lanes get the
         #                    grown cap, so windows stay tight
+        sat_mask = sat_false   # margin-clamp lift for retry attempts
         for attempt in range(sph_mod._MAX_REBUILDS + 1):
             if state is None:
                 rho_model, h0_model, h_box = _model_fields_from_rho(
@@ -749,6 +790,8 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 h_prev = h_prev[order]
                 rhom_prev = rhom_prev[order]
                 fac_gas = fac_gas[order]
+                if sat_mask is not sat_false:
+                    sat_mask = sat_mask[order]
                 del order
                 # the sorted positions and permutation are adopted into
                 # the loop arrays; dropping them from the retained state
@@ -781,6 +824,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                     tail_shape=tail_shape, beta=beta_u)
                 its_since_build = 0
                 drift_acc = 0.0
+                sort_drift_acc = 0.0
                 mem = (jax.local_devices()[0].memory_stats() or {})
                 log("wvt_build", it=it, attempt=attempt,
                     max_cand=state.max_cand, classes=class_shape,
@@ -793,15 +837,21 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             if pending is not None and pending[0] == it:
                 out = pending[1]
             else:
+                # the cold-start/big-move phase keeps the COLD margin
+                # (warm-h prediction is unreliable until err settles)
+                mw = (max(margin_warm, _BITS_MARGIN_COLD)
+                      if err_last > 0.15 else margin_warm)
                 out = iter_fn(pos_gas, h_prev, rhom_prev, state.h_cap,
-                              state.cand.idx, state.cand.count,
-                              class_ids, state.tail, ha, fac_gas,
-                              jnp.int32(n_gas), jnp.float32(step),
-                              jnp.float32(err_last), jnp.int32(it))
+                              sat_mask, jnp.float32(mw),
+                              state.cand.idx,
+                              state.cand.count, class_ids, state.tail,
+                              ha, fac_gas, jnp.int32(n_gas),
+                              jnp.float32(step), jnp.float32(err_last),
+                              jnp.int32(it))
             pending = None
             (rho, hsml, vf, pos_new, rho_model_s, err_max_d,
              err_mean_d, n_sat_d, dmax_rel_d, step_new_d,
-             fac_new_d) = out
+             fac_new_d, sat_d) = out
             del out  # the tuple would pin ~1.5 GB at 5e7 gas
             # speculate it+1 BEFORE fetching it's scalars, unless a
             # rebuild is predictable from host state.  A stop rule
@@ -811,10 +861,13 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             predict_rebuild = (
                 its_since_build + 1 >= REBUILD_EVERY
                 or drift_acc + 1.5 * drift_inc_last > drift_budget
+                or (sort_drift_acc + 1.5 * drift_inc_last
+                    > _SORT_DRIFT_BUDGET)
                 or state.tail is not None)
             if speculate and it < max_iter and not predict_rebuild:
                 pending = (it + 1, iter_fn(
                     pos_new, hsml, rho_model_s, state.h_cap,
+                    sat_false, jnp.float32(margin_warm),
                     state.cand.idx,
                     state.cand.count, class_ids, state.tail, ha,
                     fac_new_d, jnp.int32(n_gas), step_new_d,
@@ -848,6 +901,11 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             # next build+solve.
             pending = None
             grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
+            sat_mask = sat_d   # lift the margin clamp for these lanes
+            # feedback: the warm margin mispredicted enough lanes to
+            # cost this retry — widen it for subsequent iterations
+            margin_warm = min(margin_warm * 1.15, 1.6)
+            quiet_iters = 0
             h_prev = hsml
             # positions are unchanged on the retry: prev-model = current
             # model, so the predictor's ratio is exactly 1
@@ -859,6 +917,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 f"hsml solve saturated for {n_sat} particles after "
                 f"{sph_mod._MAX_REBUILDS} rebuilds")
         its_since_build += 1
+        quiet_iters += 1
+        if quiet_iters >= 8 and margin_warm > _BITS_MARGIN_WARM:
+            margin_warm = max(margin_warm / 1.15, _BITS_MARGIN_WARM)
+            quiet_iters = 0
 
         rho_l, hsml_l, vf_l, rho_model_l = rho, hsml, vf, rho_model_s
         h_prev = hsml
@@ -868,7 +930,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
 
         log("wvt", it=it, err_max=round(err_max, 4),
             err_mean=round(err_mean, 5), err_diff=round(err_diff, 5),
-            step=step)
+            step=step, margin=round(margin_warm, 3))
 
         # stopping rules (host), then adopt the device-side post-shrink
         # move (wvt_relax.c:94-101 ordering — pos_new was computed with
@@ -888,6 +950,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         # pair endpoints move, hence the factor 2)
         drift_inc_last = 2.0 * dmax_rel_v * step
         drift_acc += drift_inc_last
+        sort_drift_acc += drift_inc_last
         del pos_new
 
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
