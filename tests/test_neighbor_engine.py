@@ -155,6 +155,44 @@ def test_curl_matches_brute_force(cloud, solved):
                                atol=1e-4 * scale)
 
 
+def test_superblock_curl_matches_brute_force(cloud, solved, monkeypatch):
+    """The B-field stage's superblock curl path (bounded receiver slabs
+    over expanded superblock lists — the 5e7-gas-safe path that never
+    materialises a block-granular candidate table) must agree with
+    brute-force direct summation (sph.c:216-300)."""
+    from types import SimpleNamespace
+    from toycluster_tpu.models import bfield, sph as sph_mod
+    bi, cand, res, pad = solved
+    n = N
+    inv = np.asarray(bi.order)
+    rng = np.random.default_rng(1)
+    apot_orig = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    rho_o = np.zeros(n, np.float32)
+    h_o = np.zeros(n, np.float32)
+    vf_o = np.zeros(n, np.float32)
+    rho_o[inv] = np.asarray(res.rho[:n])
+    h_o[inv] = np.asarray(res.hsml[:n])
+    vf_o[inv] = np.asarray(res.var_hsml_fac[:n])
+
+    # tiny slab budget: forces the multi-slab host loop at test scale
+    monkeypatch.setattr(bfield, "_SLAB_ENTRIES", 1)
+    state = sph_mod._build_neighbours_sb(cloud, jnp.asarray(h_o), BOX)
+    assert state.sb
+    scene = SimpleNamespace(mpart_gas=1.0, boxsize=BOX,
+                            config=SimpleNamespace(sph_kernel="wc6"))
+    parts = SimpleNamespace(n_gas=n, pos=cloud, hsml=jnp.asarray(h_o),
+                            rho=jnp.asarray(rho_o),
+                            var_hsml_fac=jnp.asarray(vf_o),
+                            apot=apot_orig)
+    b_sb = np.asarray(bfield._curl_superblock(scene, parts, state))
+
+    b_brute = brute.brute_curl(cloud, jnp.asarray(h_o), jnp.asarray(rho_o),
+                               jnp.asarray(vf_o), apot_orig, 1.0, BOX)
+    scale = np.abs(np.asarray(b_brute)).max()
+    np.testing.assert_allclose(b_sb, np.asarray(b_brute), rtol=5e-3,
+                               atol=1e-4 * scale)
+
+
 def test_corner_lanes_grow_past_box_third():
     """Tiny-N periodic corner lanes need h beyond boxsize/3 to collect
     DESNNGB neighbours across the wrap — the reference's grow loop is

@@ -10,10 +10,15 @@ subhalos, magnetic_field.c:71-131).
 
 from __future__ import annotations
 
+import os
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as const
+from ..ops import blocks as blk
 from ..ops import pair_ops
 from ..particles import HaloArrays, Particles, gas_density_device
 from ..scene import Scene
@@ -22,6 +27,10 @@ from . import sph as sph_mod
 
 BMAX = 18e-6       # magnetic_field.c:4
 BMAX_SUB = 2e-6    # magnetic_field.c:113-114
+
+# expanded candidate entries materialised per curl slab (int32 block ids);
+# bounds the per-dispatch working set of the superblock curl path
+_SLAB_ENTRIES = int(os.environ.get("TOYCLUSTER_BFLD_SLAB", 1 << 22))
 
 
 def set_vector_potential(scene: Scene, ha: HaloArrays, parts: Particles
@@ -63,6 +72,78 @@ def normalise_field(scene: Scene, ha: HaloArrays, bfld, pos_gas
     return bfld * scale[:, None]
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("w", "nb", "mpart", "boxsize", "kernel"))
+def _curl_slab(out, bi, cand_idx, ids, h_s, rho_s, vf_s, apot_s, *,
+               w, nb, mpart, boxsize, kernel):
+    """One bounded receiver slab of the superblock curl: expand the
+    slab's superblock rows (truncated to the bucket width `w`) to block
+    ids and scatter the curl into the donated (P, 3) accumulator."""
+    sb_rows = cand_idx[jnp.maximum(ids, 0)][:, :w]
+    sb_rows = jnp.where((ids >= 0)[:, None], sb_rows, -1)
+    sel = pair_ops.BlockSelection(
+        ids=ids, cand=sph_mod.expand_tail_rows(sb_rows, nb))
+    res = pair_ops.sph_curl(bi, sel, h_s, rho_s, vf_s, apot_s, mpart,
+                            boxsize, kernel=kernel)
+    p = out.shape[0]
+    pidx = (jnp.maximum(ids, 0)[:, None] * blk.BLOCK
+            + jnp.arange(blk.BLOCK, dtype=jnp.int32)).reshape(-1)
+    pidx = jnp.where(jnp.repeat(ids >= 0, blk.BLOCK), pidx, p)
+    return out.at[pidx].set(res, mode="drop")
+
+
+def _curl_superblock(scene, parts, state: sph_mod.NeighbourState):
+    """SPH curl over a SUPERBLOCK-granular neighbour structure in
+    bounded receiver slabs.
+
+    The XLA block-granular path materialises an (n_blocks, max_cand)
+    candidate table for every receiver; at 5e7 gas that table alone is
+    ~13 GB and killed the TPU worker after the B-field stage
+    (PROFILE_r05 §5).  Here receiver blocks are bucketed by their
+    superblock count (reusing the state's skip-bit buckets), each bucket
+    is processed in slabs whose expanded block lists stay under
+    _SLAB_ENTRIES int32 entries, and each slab runs the unchanged
+    pair_ops.sph_curl — peak extra memory is O(slab), independent of N.
+    Rows over the build width keep their nearest superblocks (the
+    NGBMAX-style truncation, globals.h:50)."""
+    n_gas = parts.n_gas
+    bi = state.index
+    nb = bi.n_blocks
+    pad = lambda x: sph_mod._pad_sorted(x, bi.order, bi.n_padded)  # noqa: E731
+    h_s, rho_s, vf_s = pad(parts.hsml[:n_gas]), pad(parts.rho[:n_gas]), \
+        pad(parts.var_hsml_fac[:n_gas])
+    apot_s = pad(parts.apot[:n_gas])
+    width_full = state.cand.idx.shape[1]
+    if state.buckets is not None:
+        # bucket id arrays carry shape-stability padding (-1); the curl
+        # is a one-off pass with no shape-reuse pressure, so drop it
+        buckets = [(np.asarray(ids)[np.asarray(ids) >= 0], w)
+                   for ids, w in zip(*state.buckets)]
+        buckets = [(ids, w) for ids, w in buckets if len(ids)]
+    else:
+        counts = np.minimum(np.asarray(state.cand.count), width_full)
+        buckets = [(np.arange(len(counts), dtype=np.int32),
+                    max(int(counts.max()), 1))]
+    out = jnp.zeros((bi.n_padded, 3), jnp.float32)
+    for ids_np, w in buckets:
+        rows_per = max(16, _SLAB_ENTRIES // (w * blk.SUPER))
+        # never pad a bucket past its own (16-rounded) size: small
+        # buckets would otherwise inflate to the full slab budget
+        rows_per = min(rows_per, -(-len(ids_np) // 16) * 16)
+        n_slabs = -(-len(ids_np) // rows_per)
+        ids_pad = np.full(n_slabs * rows_per, -1, np.int32)
+        ids_pad[: len(ids_np)] = ids_np
+        for s in range(n_slabs):
+            ids = jnp.asarray(ids_pad[s * rows_per:(s + 1) * rows_per])
+            out = _curl_slab(out, bi, state.cand.idx, ids, h_s, rho_s,
+                             vf_s, apot_s, w=w, nb=nb,
+                             mpart=float(scene.mpart_gas),
+                             boxsize=float(scene.boxsize),
+                             kernel=scene.config.sph_kernel)
+    return jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(
+        out[:n_gas])
+
+
 def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
                         state: sph_mod.NeighbourState | None = None
                         ) -> Particles:
@@ -74,10 +155,19 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
         return parts
     parts = set_vector_potential(scene, ha, parts)
 
-    if state is None or state.sb:
-        # the curl below runs through the XLA pair operator, which needs
-        # BLOCK-granular candidate lists — a superblock-granular state
-        # (pallas stream engine) cannot be consumed directly
+    if state is None and sph_mod._engine() == "pallas":
+        # the stream engine's structure is superblock-granular; build a
+        # fresh gather-range one at the final positions (exact coverage,
+        # no cap slack needed — positions are fixed during the curl)
+        state = sph_mod._build_neighbours_sb(
+            parts.pos[:n_gas], parts.hsml[:n_gas], scene.boxsize)
+    if state is not None and state.sb:
+        bfld = _curl_superblock(scene, parts, state)
+        bfld = normalise_field(scene, ha, bfld, parts.pos[:n_gas])
+        return parts._replace(bfld=bfld)
+
+    if state is None:
+        # XLA engine: block-granular lists feed the pair operator below
         h_gas = parts.hsml[:n_gas]
         state = sph_mod._build_neighbours_blocks(
             parts.pos[:n_gas], h_gas, scene.boxsize)

@@ -217,7 +217,11 @@ def _sb_candidates(bi, key, radius, radius_sym, boxsize):
     # (m_blocks = M * _FAN must land on 16); an overflowing row at an
     # odd ns truncates its one farthest superblock instead (the
     # distance-ordered NGBMAX-style truncation the callers absorb)
-    width_cap = max(2, min(_SB_WIDTH_CAP, ns) & ~1)
+    # round ns UP to even: rounding down at a tiny odd superblock count
+    # silently dropped every row's farthest superblock (observed as a
+    # 1.3% curl mismatch at N=3000, ns=3) — the extra column beyond ns
+    # is plain -1 padding, so rounding up costs nothing
+    width_cap = max(2, min(_SB_WIDTH_CAP, (ns + 1) & ~1))
     # start width: growing on overflow costs a full recompile + solve
     # of the iteration program at the new shape (minutes at 1e8 through
     # the remote compile service) — large runs pre-seed it via env
