@@ -31,10 +31,13 @@ from toycluster_tpu.models import bfield, positions as pos_mod
 from toycluster_tpu.models import sph as sph_mod
 
 N_GAS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+PAR_FILE = (sys.argv[2] if len(sys.argv) > 2 else
+            os.environ.get("TOYCLUSTER_PAR_FILE",
+                           "/root/reference/cluster.par"))
 
 
 def main():
-    cfg = parse_par_file("/root/reference/cluster.par").replace(
+    cfg = parse_par_file(PAR_FILE).replace(
         ntotal=2 * N_GAS, bfld_norm=5e-6, bfld_eta=0.5)
     scene = build_scene(cfg)
     ha = halo_arrays_from_scene(scene)

@@ -206,7 +206,8 @@ def test_regularise_sharded_converges(small_scene):
     errs = []
 
     def log(stage, **kw):
-        errs.append(kw["err_mean"])
+        if stage == "wvt_shard":
+            errs.append(kw["err_mean"])
 
     pos, rho, hsml = wvt_shard.regularise_sharded(
         mesh, ha, parts.pos[:parts.n_gas], boxsize=scene.boxsize,
@@ -223,3 +224,105 @@ def test_regularise_sharded_converges(small_scene):
                * np.asarray(rho) / scene.mpart_gas)
     frac = np.abs(ngb_vol / cfg.desnngb - 1.0)
     assert np.median(frac) < 0.05
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_structure_reuse_equivalence(small_scene):
+    """Sharded structure reuse (rebuild_every=4 under the drift budget)
+    must track the rebuild-every-iteration loop to float32 pair-sum
+    noise — the multi-chip analogue of test_rebuild_every_equivalence
+    (tests/test_wvt.py)."""
+    cfg, scene, ha, parts = small_scene
+    mesh = make_mesh(min(8, jax.device_count()))
+
+    def run(rebuild_every):
+        errs = []
+
+        def log(stage, **kw):
+            if stage == "wvt_shard":
+                errs.append(kw["err_mean"])
+
+        pos, rho, _ = wvt_shard.regularise_sharded(
+            mesh, ha, parts.pos[:parts.n_gas], boxsize=scene.boxsize,
+            mpart=scene.mpart_gas, desnngb=cfg.desnngb,
+            kernel=cfg.sph_kernel, max_cand=64, step=0.035, max_iter=6,
+            log=log, rebuild_every=rebuild_every)
+        return np.asarray(pos), np.asarray(rho), errs
+
+    pos4, rho4, errs4 = run(4)
+    pos1, rho1, errs1 = run(1)
+    assert len(errs4) == len(errs1)
+    np.testing.assert_allclose(errs4, errs1, rtol=2e-2)
+    box = scene.boxsize
+    d = np.abs(pos4 - pos1)
+    d = np.minimum(d, box - d)  # periodic metric
+    assert d.max() < 2e-3 * box
+    np.testing.assert_allclose(rho4, rho1, rtol=2e-2)
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_checkpoint_resume(small_scene, tmp_path):
+    """A sharded run interrupted mid-relaxation and resumed from its NPZ
+    checkpoint must land where the uninterrupted run lands (the
+    single-chip loop's checkpoint contract, models/wvt)."""
+    cfg, scene, ha, parts = small_scene
+    mesh = make_mesh(min(8, jax.device_count()))
+    ck = str(tmp_path / "wvt_shard_ck.npz")
+
+    def run(max_iter, checkpoint_path=None):
+        errs = []
+
+        def log(stage, **kw):
+            if stage == "wvt_shard":
+                errs.append((kw["it"], kw["err_mean"]))
+
+        pos, _, _ = wvt_shard.regularise_sharded(
+            mesh, ha, parts.pos[:parts.n_gas], boxsize=scene.boxsize,
+            mpart=scene.mpart_gas, desnngb=cfg.desnngb,
+            kernel=cfg.sph_kernel, max_cand=64, step=0.035,
+            max_iter=max_iter, log=log,
+            checkpoint_path=checkpoint_path, checkpoint_every=2)
+        return np.asarray(pos), errs
+
+    run(3, checkpoint_path=ck)               # writes it=1, it=3
+    pos_res, errs_res = run(6, checkpoint_path=ck)   # resumes at it=4
+    pos_ref, errs_ref = run(6)               # uninterrupted
+    assert errs_res[0][0] == 4
+    ref_tail = dict(errs_ref)
+    for it, e in errs_res:
+        assert e == pytest.approx(ref_tail[it], rel=2e-2)
+    box = scene.boxsize
+    d = np.abs(pos_res - pos_ref)
+    d = np.minimum(d, box - d)
+    assert d.max() < 2e-3 * box
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_make_ics_mesh_entry(small_scene, tmp_path):
+    """make_ics(mesh=...) runs the WVT stage sharded over the mesh and
+    the remaining stages single-chip — multi-chip as a PIPELINE
+    capability, not just a library path."""
+    from toycluster_tpu.pipeline import make_ics
+
+    cfg, scene, ha, parts = small_scene
+    cfg = cfg.replace(wvt_max_iter=4,
+                      output_file=str(tmp_path / "mesh_ics"))
+    mesh = make_mesh(min(8, jax.device_count()))
+    logs = []
+
+    def log(stage, **kw):
+        logs.append(stage)
+
+    scene2, parts2 = make_ics(cfg, log=log, mesh=mesh, write=True)
+    assert "wvt_sharded" in logs
+    n_gas = parts2.n_gas
+    assert bool((parts2.rho[:n_gas] > 0).all())
+    assert bool((parts2.u[:n_gas] > 0).all())
+    assert np.isfinite(np.asarray(parts2.vel)).all()
+    from toycluster_tpu.io.gadget import read_snapshot
+    snap = read_snapshot(cfg.output_file)
+    assert snap["header"].npart[0] == n_gas
+    assert np.isfinite(snap["pos"]).all()

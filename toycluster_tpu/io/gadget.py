@@ -14,7 +14,10 @@ A reader is provided for round-trip tests and downstream tooling.
 
 from __future__ import annotations
 
+import os
 import struct
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -90,27 +93,83 @@ BLOCKS = (
 )
 
 
+# Device->host transfer on this backend class (remote TPU service) is
+# ~16-20 MB/s per stream but multiplexes to ~43 MB/s with ~32-64
+# concurrent small-chunk fetches (measured 2026-08-19; whole-array
+# np.asarray was 2.4 MB/s effective at 1e8 — 1770 s for one 4.2 GB
+# snapshot, FLAGSHIP_r04_config5).  The writer therefore streams every
+# block: device rows are sliced into ~8 MB chunks, a thread pool keeps a
+# read-ahead window of fetches in flight, and the main thread writes
+# chunks to disk in order under the F90 framing — bytes identical to the
+# whole-buffer path.
+_FETCH_THREADS = int(os.environ.get("TOYCLUSTER_FETCH_THREADS", "48"))
+_FETCH_CHUNK_BYTES = 8 * 1024 * 1024
+
+
+def _is_device_array(arr) -> bool:
+    return hasattr(arr, "addressable_shards")  # jax.Array, any backend
+
+
+def _chunk_rows(shape, itemsize) -> int:
+    row_bytes = itemsize * (int(np.prod(shape[1:])) if len(shape) > 1 else 1)
+    return max(1, _FETCH_CHUNK_BYTES // max(row_bytes, 1))
+
+
+def _write_block_streamed(fp, label, arr, vpe, dtype, pool):
+    """Emit one framed block, fetching device chunks through the pool
+    with a read-ahead window while earlier chunks hit the disk."""
+    arr_np = None if _is_device_array(arr) else np.asarray(arr)
+    n = arr.shape[0]
+    nbytes = n * vpe * np.dtype(dtype).itemsize
+    lab = label.encode("ascii")[:4].ljust(4)
+    fp.write(_rec(lab + struct.pack("<i", nbytes + 8)))
+    fp.write(struct.pack("<i", nbytes))
+    if arr_np is not None:
+        np.ascontiguousarray(arr_np, dtype).tofile(fp)
+    else:
+        import jax
+        rows = _chunk_rows(arr.shape, np.dtype(dtype).itemsize)
+        window: deque = deque()
+        starts = list(range(0, n, rows))
+        it = iter(starts)
+        depth = max(2, 2 * _FETCH_THREADS)
+        for s in starts[:depth]:
+            window.append(pool.submit(jax.device_get, arr[s:s + rows]))
+            next(it)
+        while window:
+            chunk = window.popleft().result()
+            for s in it:
+                window.append(pool.submit(jax.device_get,
+                                          arr[s:s + rows]))
+                break
+            np.ascontiguousarray(chunk, dtype).tofile(fp)
+    fp.write(struct.pack("<i", nbytes))
+
+
 def write_snapshot(path: str, *, header: GadgetHeader, pos, vel, ids,
                    u=None, rho=None, hsml=None, bfld=None, rho_model=None):
     """Write all blocks in reference order. Gas-only arrays may be None or
-    empty when npart[0] == 0 (the framing is still emitted)."""
+    empty when npart[0] == 0 (the framing is still emitted).  Arrays may
+    be numpy or jax device arrays — device data streams through the
+    chunked fetcher instead of one blocking whole-array transfer."""
     n_gas = header.npart[0]
     data = {
-        "POS ": np.asarray(pos, np.float32),
-        "VEL ": np.asarray(vel, np.float32),
-        "ID  ": np.asarray(ids, np.uint32),
+        "POS ": pos, "VEL ": vel, "ID  ": ids,
         "U   ": u, "RHO ": rho, "HSML": hsml, "BFLD": bfld,
         "RHOM": rho_model,
     }
-    with open(path, "wb") as fp:
-        fp.write(_block("HEAD", header.pack()))
-        for label, gas_only, vpe, dtype in BLOCKS:
-            arr = data[label]
-            if gas_only:
-                arr = (np.zeros((0, vpe), dtype) if arr is None
-                       else np.asarray(arr, dtype)[:n_gas])
-            payload = np.ascontiguousarray(arr, dtype).tobytes()
-            fp.write(_block(label, payload))
+    pool = ThreadPoolExecutor(_FETCH_THREADS)
+    try:
+        with open(path, "wb") as fp:
+            fp.write(_block("HEAD", header.pack()))
+            for label, gas_only, vpe, dtype in BLOCKS:
+                arr = data[label]
+                if gas_only:
+                    arr = (np.zeros((0, vpe), dtype) if arr is None
+                           else arr[:n_gas])
+                _write_block_streamed(fp, label, arr, vpe, dtype, pool)
+    finally:
+        pool.shutdown(wait=False)
 
 
 def read_snapshot(path: str) -> dict:
@@ -166,7 +225,8 @@ def read_snapshot(path: str) -> dict:
 
 
 def write_scene_snapshot(path: str, scene, parts) -> GadgetHeader:
-    """Assemble the header from a Scene and dump a Particles pytree."""
+    """Assemble the header from a Scene and dump a Particles pytree.
+    Device arrays pass through to the streaming writer unfetched."""
     import numpy as _np
     npart = [scene.npart_gas, scene.npart_dm, 0, 0, 0, 0]
     mass = [scene.mpart_gas, scene.mpart_dm, 0.0, 0.0, 0.0, 0.0]
@@ -175,12 +235,9 @@ def write_scene_snapshot(path: str, scene, parts) -> GadgetHeader:
                           hubble_param=scene.cosmo.h_100)
     write_snapshot(
         path, header=header,
-        pos=_np.asarray(parts.pos), vel=_np.asarray(parts.vel),
-        ids=_np.asarray(parts.pid),
-        u=_np.asarray(parts.u), rho=_np.asarray(parts.rho),
-        hsml=_np.asarray(parts.hsml),
-        bfld=(_np.asarray(parts.bfld)
-              if parts.bfld.shape[0] == parts.n_gas else
+        pos=parts.pos, vel=parts.vel, ids=parts.pid,
+        u=parts.u, rho=parts.rho, hsml=parts.hsml,
+        bfld=(parts.bfld if parts.bfld.shape[0] == parts.n_gas else
               _np.zeros((parts.n_gas, 3), _np.float32)),
-        rho_model=_np.asarray(parts.rho_model))
+        rho_model=parts.rho_model)
     return header

@@ -127,9 +127,12 @@ def _curl_superblock(scene, parts, state: sph_mod.NeighbourState):
     out = jnp.zeros((bi.n_padded, 3), jnp.float32)
     for ids_np, w in buckets:
         rows_per = max(16, _SLAB_ENTRIES // (w * blk.SUPER))
-        # never pad a bucket past its own (16-rounded) size: small
-        # buckets would otherwise inflate to the full slab budget
-        rows_per = min(rows_per, -(-len(ids_np) // 16) * 16)
+        # never pad a bucket past its own size — but quantize that size
+        # onto a pow2 grid (floor 16) so small buckets whose exact sizes
+        # wobble across runs/rebuilds share slab shapes instead of each
+        # minting a fresh _curl_slab executable
+        bucket_q = 1 << max(4, (len(ids_np) - 1).bit_length())
+        rows_per = min(rows_per, bucket_q)
         n_slabs = -(-len(ids_np) // rows_per)
         ids_pad = np.full(n_slabs * rows_per, -1, np.int32)
         ids_pad[: len(ids_np)] = ids_np

@@ -524,8 +524,11 @@ def classed_selections(state: NeighbourState):
 
 def expand_tail_rows(sb_rows, nb):
     """(T, M_sb) superblock ids -> (T, M_sb*SUPER) block ids.  Invalid
-    entries map to -1 and, because sb ids ascend, land at the row tails —
-    safe for every consumer's sorted-list assumption."""
+    entries map to -1.  Invariant relied on by consumers: valid entries
+    are CONTIGUOUS at the row front (rows are count-prefixed), so -1s
+    land at the row tails — true both for ascending tail lists and for
+    the distance-ordered lists find_candidates_super feeds the curl
+    slabs."""
     t, m = sb_rows.shape
     e = (jnp.maximum(sb_rows, 0)[:, :, None] * blk.SUPER
          + jnp.arange(blk.SUPER, dtype=jnp.int32))

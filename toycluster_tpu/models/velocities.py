@@ -162,6 +162,168 @@ def sample_speeds(key, vt: VelocityTables, r):
     return jnp.where(good, v, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Batched all-halo sampler.
+#
+# The per-halo chunked path above (sample_speeds per _VCHUNK page) is kept
+# for tests and small scenes, but at config-5 scale (73 halos, 5e7 DM) its
+# host orchestration dominated: ~200 paged sampler dispatches plus per-halo
+# slice/concat programs, each a round-trip to the remote compile/execute
+# service (measured 522 s, FLAGSHIP_r04_config5).  The batched path below
+# samples every DM particle of every halo in ONE program family: a vmapped
+# per-halo CDF-table build, then fixed-shape pages of gather-based inverse
+# transforms indexed by each particle's halo id.  Same target distribution
+# (velocities.c:62-95), same v=0 fallback, ~4 dispatches total.
+# ---------------------------------------------------------------------------
+
+_VPAGE = 1 << 23  # particles per sampler page (fixed program shape)
+
+
+def stack_velocity_tables(vts):
+    """Stack per-halo VelocityTables into one (H, ...) pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *vts)
+
+
+def _flat_gather(tab, row, col):
+    """tab[(row, col)] for 2-D tab with 1-D index vectors (flat gather —
+    keeps XLA from materializing (n, K) intermediates)."""
+    return tab.reshape(-1)[row * tab.shape[1] + col]
+
+
+def _batched_spline_eval(table: SplineTable, hid, xq):
+    """spline_eval against per-halo knot rows: table fields are (H, K),
+    hid/xq are (n,).  Manual bisection with flat gathers replaces
+    searchsorted (which cannot index a different row per query)."""
+    x, y, m2 = table
+    k = x.shape[1]
+    lo = jnp.zeros_like(hid)
+    hi = jnp.full_like(hid, k - 1)
+    for _ in range(10):  # 2^10 >= NTABLE
+        mid = (lo + hi) // 2
+        go_hi = xq >= _flat_gather(x, hid, mid)
+        lo = jnp.where(go_hi, mid, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    i = jnp.clip(lo, 0, k - 2)
+    x0 = _flat_gather(x, hid, i)
+    x1 = _flat_gather(x, hid, i + 1)
+    h = x1 - x0
+    A = jnp.clip((x1 - xq) / h, 0.0, 1.0)  # clamp to knot span
+    B = 1.0 - A
+    return (A * _flat_gather(y, hid, i) + B * _flat_gather(y, hid, i + 1)
+            + ((A ** 3 - A) * _flat_gather(m2, hid, i)
+               + (B ** 3 - B) * _flat_gather(m2, hid, i + 1)) * h * h / 6.0)
+
+
+def _batched_potential(vt: VelocityTables, hid, r):
+    """potential_device with stacked (H, ...) tables and per-particle halo
+    ids (velocities.c:323-331,437-447)."""
+    psi = vt.G[hid] * vt.mass_dm[hid] / (r + vt.a_hernq[hid])
+    r_max = vt.r_max[hid]
+    inside = _batched_spline_eval(vt.psi_gas, hid, jnp.minimum(r, r_max))
+    outside = vt.psi_rmax[hid] * r_max / jnp.maximum(r, r_max)
+    gas = jnp.where(r < r_max, inside, outside)
+    return psi + jnp.where(vt.has_gas[hid], gas, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_halos",))
+def _page_radius_max(dx, dy, dz, halo, n_halos):
+    """Per-halo max radius over one page of halo-centred coordinate
+    columns (split columns dodge (N, 3) gather tile-padding — see
+    _shift_origin_jit)."""
+    r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return jax.ops.segment_max(r, halo, num_segments=n_halos)
+
+
+@jax.jit
+def _build_cdf_pack(vts: VelocityTables, r_his):
+    """vmapped per-halo speed-CDF tables; r_his (H,) per-halo max radius."""
+    r_lo = jnp.float32(RMIN)
+    return jax.vmap(
+        lambda vt, rh: _speed_cdf_table(
+            vt, r_lo, jnp.maximum(rh, r_lo * 2.0)))(vts, r_his)
+
+
+@jax.jit
+def _sample_page(key, vts: VelocityTables, cdf, ok_row, r_his,
+                 pos_x, pos_y, pos_z, halo, bulk):
+    """Sample one fixed-shape page of DM velocities: inverse-CDF speed
+    from the particle's halo row pair, exact per-particle escape-speed
+    bound, isotropic direction, plus the halo bulk velocity."""
+    n = halo.shape[0]
+    n_rows = cdf.shape[1]
+    r_lo = jnp.float32(RMIN)
+    r = jnp.sqrt(pos_x * pos_x + pos_y * pos_y + pos_z * pos_z)
+    r = jnp.maximum(r_lo, r)
+    r_hi = jnp.maximum(jnp.take(r_his, halo), r_lo * 2.0)
+    x = (jnp.log(r / r_lo) / jnp.log(r_hi / r_lo)) * (n_rows - 1)
+    x = jnp.clip(x, 0.0, n_rows - 1 - 1e-4)
+    row = x.astype(jnp.int32)
+    frac = x - row
+    flat0 = halo * n_rows + row
+    flat1 = halo * n_rows + jnp.minimum(row + 1, n_rows - 1)
+    cdf2 = cdf.reshape(-1, cdf.shape[2])
+    k_u, k_d = jax.random.split(key)
+    uu = jax.random.uniform(k_u, (n,))
+    u0 = _invert_cdf_rows(cdf2, flat0, uu)
+    u1 = _invert_cdf_rows(cdf2, flat1, uu)
+    u_v = (1.0 - frac) * u0 + frac * u1
+    vmax = jnp.sqrt(2.0 * _batched_potential(vts, halo, r))
+    ok2 = ok_row.reshape(-1)
+    good = ok2[flat0] | ok2[flat1]
+    v = jnp.where(good, u_v * vmax, 0.0)
+    dirs = _sphere_dirs(k_d, n)
+    cols = [v * dirs[:, d] + jnp.take(bulk[:, d], halo) for d in range(3)]
+    return jnp.stack(cols, axis=1)
+
+
+def _sample_dm_batched(key, scene, ha, parts, bulk_vel_stack):
+    """All-halo DM velocity assignment (the batched path)."""
+    n_gas = scene.npart_gas
+    n_dm = parts.n_total - n_gas
+    n_halos = scene.nhalos
+    centers = ha.d_com + scene.boxhalf
+    halo_dm = parts.halo[n_gas:]
+    pos_dm = parts.pos[n_gas:]
+
+    vts = stack_velocity_tables(
+        [build_velocity_tables(scene, i) for i in range(n_halos)])
+
+    # pass 1: per-halo max radius (pages, host-accumulated)
+    r_hi = np.zeros(n_halos, np.float32)
+    # pre-split columns once; page slices stay fixed-shape except the tail
+    for c0 in range(0, n_dm, _VPAGE):
+        c1 = min(c0 + _VPAGE, n_dm)
+        h = halo_dm[c0:c1]
+        page_max = _page_radius_max(
+            pos_dm[c0:c1, 0] - jnp.take(centers[:, 0], h),
+            pos_dm[c0:c1, 1] - jnp.take(centers[:, 1], h),
+            pos_dm[c0:c1, 2] - jnp.take(centers[:, 2], h),
+            h, n_halos)
+        r_hi = np.maximum(r_hi, np.asarray(page_max, np.float32))
+    r_his = jnp.asarray(r_hi)
+
+    cdf_r, cdf, _vmax_tab, ok_row = _build_cdf_pack(vts, r_his)
+
+    pages = []
+    for k, c0 in enumerate(range(0, n_dm, _VPAGE)):
+        c1 = min(c0 + _VPAGE, n_dm)
+        npad = _VPAGE - (c1 - c0) if (c1 - c0) < _VPAGE and n_dm > _VPAGE \
+            else 0
+        h = halo_dm[c0:c1]
+        px = pos_dm[c0:c1, 0] - jnp.take(centers[:, 0], h)
+        py = pos_dm[c0:c1, 1] - jnp.take(centers[:, 1], h)
+        pz = pos_dm[c0:c1, 2] - jnp.take(centers[:, 2], h)
+        if npad:  # tail page re-uses the full-page program shape
+            z = jnp.zeros((npad,), jnp.float32)
+            px, py, pz = (jnp.concatenate([a, z]) for a in (px, py, pz))
+            h = jnp.concatenate([h, jnp.zeros((npad,), h.dtype)])
+        page = _sample_page(jax.random.fold_in(key, 7000 + k), vts, cdf,
+                            ok_row, r_his, px, py, pz, h,
+                            bulk_vel_stack)
+        pages.append(page[:c1 - c0] if npad else page)
+    return jnp.concatenate(pages) if len(pages) > 1 else pages[0]
+
+
 def _sphere_dirs(key, n):
     k1, k2 = jax.random.split(key)
     cos_t = 2.0 * jax.random.uniform(k1, (n,)) - 1.0
@@ -227,49 +389,24 @@ def add_bulk_velocities(parts: Particles, ha: HaloArrays) -> Particles:
     return parts._replace(vel=vel)
 
 
-def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
-                    ) -> Particles:
-    """Assign DM peculiar velocities per halo, then add bulk velocities
-    (gas of subhalos tapered by a WC2 kernel weight) (velocities.c:38-159).
-    """
-    boxhalf = scene.boxhalf
-    parts = add_bulk_velocities(parts, ha)
-    vel = parts.vel
+def _sample_dm_per_halo(key, scene, ha, parts, bulk_vel):
+    """Legacy per-halo chunked sampler (TOYCLUSTER_VEL_PER_HALO=1):
+    sampler calls run at exactly TWO shapes (_VCHUNK_SMALL for subhaloes,
+    _VCHUNK paged for hosts).  Superseded by _sample_dm_batched for the
+    dispatch-count reasons documented there; kept for A/B validation."""
     n_gas = scene.npart_gas
-    cfg = scene.config
-
-    bulk_vel = [jnp.asarray(h.bulk_vel, jnp.float32) for h in scene.halos]
-
-    # DM blocks are contiguous per halo after the gas block
+    boxhalf = scene.boxhalf
     dm_offsets = []
     off = n_gas
     for h in scene.halos:
         dm_offsets.append(off)
         off += h.npart_dm
 
-    # per-halo chunks concatenated once (DM blocks are contiguous).
-    # Sampler calls run at exactly TWO shapes (_VCHUNK_SMALL for
-    # subhaloes, _VCHUNK paged for hosts): pow2-per-halo quantization
-    # still minted ~10 distinct programs per ~50-subhalo scene, each a
-    # fresh XLA compile on the remote service (priced 0.4-400 s)
     dm_chunks = []
     for i, h in enumerate(scene.halos):
         if h.npart_dm == 0:
             continue
         vt = build_velocity_tables(scene, i)
-        if (i == 0 and cfg.substructure and cfg.slow_substructure
-                and scene.nhalos > scene.sub_first):
-            import numpy as np
-            from .eddington import build_distribution_function
-            host_df = build_distribution_function(
-                mass_dm=scene.halos[0].mass_dm,
-                a_hernq=scene.halos[0].a_hernq, G=scene.units.G,
-                mass_table=scene.halos[0].mass_table,
-                r_sample_gas=scene.halos[0].r_sample_gas,
-                has_gas=scene.halos[0].npart_gas > 0)
-            bulks = slow_substructure_bulk_velocities(
-                scene, host_df, np.random.default_rng(cfg.seed + 99))
-            bulk_vel = [jnp.asarray(b, jnp.float32) for b in bulks]
         sl = slice(dm_offsets[i], dm_offsets[i] + h.npart_dm)
         d = parts.pos[sl] - (ha.d_com[i] + boxhalf)
         r = jnp.linalg.norm(d, axis=-1)
@@ -288,8 +425,47 @@ def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
                                 n_q)[:c1 - c0]
             parts_v.append(v[:, None] * dirs)
         dm_chunks.append(jnp.concatenate(parts_v) + bulk_vel[i])
-    if dm_chunks:
-        vel = jnp.concatenate([vel[:n_gas]] + dm_chunks)
+    return jnp.concatenate(dm_chunks)
+
+
+def make_velocities(key, scene: Scene, ha: HaloArrays, parts: Particles
+                    ) -> Particles:
+    """Assign DM peculiar velocities per halo, then add bulk velocities
+    (gas of subhalos tapered by a WC2 kernel weight) (velocities.c:38-159).
+    """
+    boxhalf = scene.boxhalf
+    parts = add_bulk_velocities(parts, ha)
+    vel = parts.vel
+    n_gas = scene.npart_gas
+    cfg = scene.config
+
+    bulk_vel = [jnp.asarray(h.bulk_vel, jnp.float32) for h in scene.halos]
+
+    # SLOW_SUBSTRUCTURE: replace subhalo bulks before any sampling
+    if (cfg.substructure and cfg.slow_substructure
+            and scene.nhalos > scene.sub_first
+            and any(h.npart_dm for h in scene.halos)):
+        import numpy as np
+        from .eddington import build_distribution_function
+        host_df = build_distribution_function(
+            mass_dm=scene.halos[0].mass_dm,
+            a_hernq=scene.halos[0].a_hernq, G=scene.units.G,
+            mass_table=scene.halos[0].mass_table,
+            r_sample_gas=scene.halos[0].r_sample_gas,
+            has_gas=scene.halos[0].npart_gas > 0)
+        bulks = slow_substructure_bulk_velocities(
+            scene, host_df, np.random.default_rng(cfg.seed + 99))
+        bulk_vel = [jnp.asarray(b, jnp.float32) for b in bulks]
+
+    n_dm = parts.n_total - n_gas
+    if n_dm:
+        import os as _os
+        if _os.environ.get("TOYCLUSTER_VEL_PER_HALO"):
+            dm_vel = _sample_dm_per_halo(key, scene, ha, parts, bulk_vel)
+        else:
+            dm_vel = _sample_dm_batched(key, scene, ha, parts,
+                                        jnp.stack(bulk_vel))
+        vel = jnp.concatenate([vel[:n_gas], dm_vel])
 
     # gas bulk velocities (velocities.c:119-151)
     if n_gas:

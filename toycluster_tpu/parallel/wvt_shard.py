@@ -157,11 +157,12 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
     if halo == "ring" and not use_stream:
         raise ValueError("halo='ring' requires the stream engine")
 
-    def body(pos_l, hprev_l, rhomp_l, valid_l, step):
+    def _prologue(pos_l, hprev_l, rhomp_l, valid_l):
+        """Shared per-iteration quantities: model density, warm-start
+        caps, metric hsml (global renorm), current block bboxes and
+        search radii.  Runs identically in the candidate-build and the
+        iterate programs so structure reuse never changes the math."""
         nbl = pos_l.shape[0] // BLOCK
-        ax = jax.lax.axis_index(axis)
-
-        # model-density quantities (replicated halo tables, local eval)
         rho_model_l = global_density_model(pos_l, ha, boxsize, cool_core)
         h0_model_l = (desnngb * mpart / rho_model_l
                       / const.FOURPITHIRD) ** (1.0 / 3.0)
@@ -185,6 +186,41 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         hi_l = blocks_l.max(axis=1)
         rad_part = jnp.maximum(cap_l, hm_l * boxsize)
         rad_l = rad_part.reshape(nbl, BLOCK).max(axis=1)
+        return (rho_model_l, h_guess_l, cap_l, hm_l, lo_l, hi_l, rad_l)
+
+    def cand_body(pos_l, hprev_l, rhomp_l, valid_l):
+        """Candidate-list build at the CURRENT positions — the sharded
+        analogue of the single-chip structure build.  Lists carry
+        _CAP_FACTOR slack so they stay valid while accumulated drift is
+        below the kernel's drift budget (models/wvt._drift_budget)."""
+        nbl = pos_l.shape[0] // BLOCK
+        (_, _, _, _, lo_l, hi_l, rad_l) = _prologue(
+            pos_l, hprev_l, rhomp_l, valid_l)
+        nb_all = n_dev * nbl
+        lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
+        hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
+        rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
+        if use_stream:
+            ns = nb_all // _FAN
+            sb_lo = lo_all.reshape(ns, _FAN, 3).min(axis=1)
+            sb_hi = hi_all.reshape(ns, _FAN, 3).max(axis=1)
+            sb_rad = rad_all.reshape(ns, _FAN).max(axis=1)
+            m_sb = min(max(16, max_cand // 4), ns)
+            cand_sb, overflow = _local_candidates(
+                lo_l, hi_l, rad_l, sb_lo, sb_hi, sb_rad, boxsize, m_sb)
+        else:
+            cand_sb, overflow = _local_candidates(
+                lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize,
+                max_cand)
+        cnt = (cand_sb >= 0).sum(axis=1).astype(jnp.int32)
+        return cand_sb, cnt, jax.lax.pmax(overflow, axis)
+
+    def body(pos_l, hprev_l, rhomp_l, valid_l, cand_sb, cnt, step):
+        nbl = pos_l.shape[0] // BLOCK
+        ax = jax.lax.axis_index(axis)
+
+        (rho_model_l, h_guess_l, cap_l, hm_l, lo_l, hi_l,
+         rad_l) = _prologue(pos_l, hprev_l, rhomp_l, valid_l)
 
         rec_ids = (ax.astype(jnp.int32) * nbl
                    + jnp.arange(nbl, dtype=jnp.int32))
@@ -210,19 +246,13 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
             # modes: 32 B per 128 particles (25 MB at 1e8)
             lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
             hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
-            rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
             bhm_all = jax.lax.all_gather(bhm_l, axis, tiled=True)
             ns = nb_all // _FAN
-            sb_lo = lo_all.reshape(ns, _FAN, 3).min(axis=1)
-            sb_hi = hi_all.reshape(ns, _FAN, 3).max(axis=1)
-            sb_rad = rad_all.reshape(ns, _FAN).max(axis=1)
-            m_sb = min(max(16, max_cand // 4), ns)
-            cand_sb, overflow = _local_candidates(
-                lo_l, hi_l, rad_l, sb_lo, sb_hi, sb_rad, boxsize, m_sb)
-            cnt = (cand_sb >= 0).sum(axis=1).astype(jnp.int32)
+            overflow = jnp.int32(-1)
             # skip bits address candidate LIST SLOTS, so they are
-            # computed against the global metadata regardless of where
-            # the source blocks physically live after the exchange
+            # computed against the CURRENT global metadata regardless of
+            # where the source blocks physically live after the exchange
+            # — and regardless of which (re)build produced the lists
             bits, safe = stream_skip_bits(
                 lo_all, hi_all, bhm_all, rec_ids, cand_sb, cap_b, hm_b,
                 float(boxsize), sb=True)
@@ -300,11 +330,8 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
             hm_all = jax.lax.all_gather(hm_l, axis, tiled=True)
             lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
             hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
-            rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
-            cand, overflow = _local_candidates(
-                lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize,
-                max_cand)
-            overflow = jax.lax.pmax(overflow, axis)
+            cand = cand_sb
+            overflow = jnp.int32(-1)
 
             dummy3 = jnp.zeros((1, 3), pos_l.dtype)
             bi = BlockIndex(order=jnp.arange(pos_all.shape[0],
@@ -335,21 +362,33 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
         new_pos = pos_l + delta * boxsize
         new_pos = new_pos - jnp.floor(new_pos / boxsize) * boxsize
 
+        # max displacement this step in units of the local metric h —
+        # the sharded analogue of the single-chip loop's drift
+        # accumulator (models/wvt: drift_acc vs _drift_budget)
+        dr = jnp.sqrt((delta * delta).sum(axis=-1))
+        drift = jax.lax.pmax(
+            jnp.where(valid_l, dr / hm_l, 0.0).max(), axis)
+
         return (new_pos, rho_r, hsml_r, rho_model_l, err_mean, err_max,
-                n_sat, overflow)
+                n_sat, overflow, drift)
 
     sharded_body = shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(),
-                   P()),
+                   P(), P()),
         # pallas_call emits vma-less ShapeDtypeStructs, which the
         # default check_vma=True rejects inside shard_map
         check_vma=False)
 
-    @partial(jax.jit, static_argnames=())
-    def _step(pos, hsml_prev, rhom_prev, step):
-        n = pos.shape[0]
+    sharded_cand = shard_map(
+        cand_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        check_vma=False)
+
+    def _assert_padded(n):
         assert n % (BLOCK * n_dev) == 0, (
             f"N={n} must be a multiple of BLOCK*n_devices="
             f"{BLOCK * n_dev}; pad with pad_for_mesh()")
@@ -357,28 +396,67 @@ def sharded_wvt_iteration(mesh: Mesh, ha: HaloArrays, *, n_real: int,
             assert (n // (BLOCK * n_dev)) % _FAN == 0, (
                 f"stream engine needs each shard's block count divisible "
                 f"by _FAN={_FAN}; pad with pad_for_mesh()")
+
+    @jax.jit
+    def _sort(pos, hsml_prev, rhom_prev):
         order = hilbert_order(pos, boxsize)
-        pos_s = pos[order]
-        hprev_s = hsml_prev[order]
-        rhomp_s = rhom_prev[order]
-        valid_s = order < n_real
-        out = sharded_body(pos_s, hprev_s, rhomp_s, valid_s,
-                           jnp.float32(step))
-        new_pos_s, rho_s, h_s, rhom_s = out[:4]
-        inv = jnp.zeros((n,), order.dtype).at[order].set(
-            jnp.arange(n, dtype=order.dtype))
-        return ShardStepResult(
-            pos=new_pos_s[inv], rho=rho_s[inv], hsml=h_s[inv],
-            rho_model=rhom_s[inv],
-            err_mean=out[4], err_max=out[5], n_saturated=out[6],
-            cand_overflow=out[7])
+        return pos[order], hsml_prev[order], rhom_prev[order], order
 
-    def step_fn(pos, hsml_prev, step, rhom_prev=None):
-        if rhom_prev is None:
-            rhom_prev = jnp.zeros((pos.shape[0],), jnp.float32)
-        return _step(pos, hsml_prev, rhom_prev, step)
+    @jax.jit
+    def _build(pos_s, hprev_s, rhomp_s, valid_s):
+        return sharded_cand(pos_s, hprev_s, rhomp_s, valid_s)
 
-    return step_fn
+    @jax.jit
+    def _iterate(pos_s, hprev_s, rhomp_s, valid_s, cand, cnt, step):
+        return sharded_body(pos_s, hprev_s, rhomp_s, valid_s, cand, cnt,
+                            jnp.float32(step))
+
+    class _ShardEngine:
+        """step_fn with a structure-reuse API.
+
+        Calling the engine runs one fully-fresh iteration (sort + build
+        + iterate + unsort) — the original `step_fn(pos, hsml, step)`
+        contract, numerics unchanged.  The reuse API (`sort`, `build`,
+        `iterate`) lets regularise_sharded keep the Hilbert order and
+        candidate lists across iterations under the drift budget, as
+        the single-chip loop does."""
+        n_real_ = n_real
+        use_stream_ = use_stream
+
+        def sort(self, pos, hsml_prev, rhom_prev):
+            _assert_padded(pos.shape[0])
+            pos_s, h_s, rm_s, order = _sort(pos, hsml_prev, rhom_prev)
+            return pos_s, h_s, rm_s, order
+
+        def build(self, pos_s, hprev_s, rhomp_s, valid_s):
+            return _build(pos_s, hprev_s, rhomp_s, valid_s)
+
+        def iterate(self, pos_s, hprev_s, rhomp_s, valid_s, cand, cnt,
+                    step):
+            return _iterate(pos_s, hprev_s, rhomp_s, valid_s, cand, cnt,
+                            step)
+
+        def __call__(self, pos, hsml_prev, step, rhom_prev=None):
+            if rhom_prev is None:
+                rhom_prev = jnp.zeros((pos.shape[0],), jnp.float32)
+            n = pos.shape[0]
+            pos_s, h_s, rm_s, order = self.sort(pos, hsml_prev,
+                                                rhom_prev)
+            valid_s = order < n_real
+            cand, cnt, overflow_b = self.build(pos_s, h_s, rm_s,
+                                               valid_s)
+            out = self.iterate(pos_s, h_s, rm_s, valid_s, cand, cnt,
+                               step)
+            new_pos_s, rho_s, hs_s, rhom_s = out[:4]
+            inv = jnp.zeros((n,), order.dtype).at[order].set(
+                jnp.arange(n, dtype=order.dtype))
+            return ShardStepResult(
+                pos=new_pos_s[inv], rho=rho_s[inv], hsml=hs_s[inv],
+                rho_model=rhom_s[inv],
+                err_mean=out[4], err_max=out[5], n_saturated=out[6],
+                cand_overflow=jnp.maximum(out[7], overflow_b))
+
+    return _ShardEngine()
 
 
 def pad_for_mesh(pos, n_dev):
@@ -407,39 +485,132 @@ def regularise_sharded(mesh, ha, pos_gas, *, boxsize, mpart, desnngb,
                        kernel="wc6", max_cand=256, step=0.0085,
                        max_iter=64, err_diff_limit=0.01, cool_core=None,
                        log=None, engine="auto", halo="auto",
-                       max_remote_sb=None):
-    """Full multi-chip WVT relaxation loop: the sharded iteration under the
-    reference's host-side early-stop / step-shrink control flow
-    (wvt_relax.c:94-101)."""
+                       max_remote_sb=None, rebuild_every=None,
+                       checkpoint_path=None, checkpoint_every=8):
+    """Full multi-chip WVT relaxation loop: the sharded iteration under
+    the reference's host-side early-stop / step-shrink control flow
+    (wvt_relax.c:94-101), with the single-chip loop's production
+    machinery:
+
+    * structure reuse — the Hilbert sort and candidate lists persist
+      across iterations; a full rebuild runs every `rebuild_every`
+      iterations (default: models/wvt.REBUILD_EVERY) OR when the
+      accumulated max-lane drift since the last build exceeds the
+      kernel's drift budget (models/wvt._drift_budget), whichever
+      first — the same cadence contract as the single-chip loop;
+    * checkpoint/resume — `checkpoint_path` (NPZ) saves (pos, hsml,
+      rho_model, it, step, err trail) in ORIGINAL particle order every
+      `checkpoint_every` iterations and resumes from it when present.
+    """
     import math
 
+    import numpy as np
+
+    from ..models.wvt import REBUILD_EVERY, _drift_budget
+
+    if rebuild_every is None:
+        rebuild_every = REBUILD_EVERY
+    drift_budget = _drift_budget(kernel)
+
     pos, n_real = pad_for_mesh(pos_gas, mesh.devices.size)
+    n = pos.shape[0]
+    hsml = jnp.zeros((n,), jnp.float32)
+    rhom = jnp.zeros((n,), jnp.float32)
+    err_last = math.inf
+    err_diff_last = math.inf
+    it0 = 0
+
+    if checkpoint_path:
+        import os
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            pos = jnp.asarray(ck["pos"])
+            hsml = jnp.asarray(ck["hsml"])
+            rhom = jnp.asarray(ck["rhom"])
+            it0 = int(ck["it"]) + 1
+            step = float(ck["step"])
+            err_last = float(ck["err_last"])
+            err_diff_last = float(ck["err_diff_last"])
+            if log:
+                log("wvt_shard_resume", it=it0, step=step,
+                    err_last=err_last)
+
     pos = shard_array(mesh, pos)
-    hsml = shard_array(mesh, jnp.zeros((pos.shape[0],), jnp.float32))
-    step_fn = sharded_wvt_iteration(
+    hsml = shard_array(mesh, hsml)
+    rhom = shard_array(mesh, rhom)
+    eng = sharded_wvt_iteration(
         mesh, ha, n_real=n_real, boxsize=boxsize, mpart=mpart,
         desnngb=desnngb, kernel=kernel, max_cand=max_cand,
         cool_core=cool_core, engine=engine, halo=halo,
         max_remote_sb=max_remote_sb)
 
-    err_last = math.inf
-    err_diff_last = math.inf
-    rhom = None
-    for it in range(max_iter + 1):
-        out = step_fn(pos, hsml, step, rhom_prev=rhom)
-        err_mean = float(out.err_mean)
+    # loop state lives in SORTED space between rebuilds; order_total
+    # maps sorted slots back to original particle ids
+    pos_s = h_s = rm_s = valid_s = cand = cnt = None
+    order_total = None
+    its_since_build = 0
+    drift_acc = 0.0
+
+    def _unsort(x, order):
+        inv = jnp.zeros((n,), order.dtype).at[order].set(
+            jnp.arange(n, dtype=order.dtype))
+        return x[inv]
+
+    out = None
+    for it in range(it0, max_iter + 1):
+        if (pos_s is None or its_since_build >= rebuild_every
+                or drift_acc > drift_budget):
+            if pos_s is not None:
+                # leave sorted space before re-sorting
+                pos = _unsort(pos_s, order_total)
+                h_host = _unsort(h_s, order_total)
+                rm_host = _unsort(rm_s, order_total)
+            else:
+                h_host, rm_host = hsml, rhom
+            pos_s, h_s, rm_s, order_total = eng.sort(pos, h_host,
+                                                     rm_host)
+            valid_s = order_total < n_real
+            cand, cnt, overflow_b = eng.build(pos_s, h_s, rm_s, valid_s)
+            its_since_build = 0
+            drift_acc = 0.0
+            if log:
+                log("wvt_shard_build", it=it,
+                    overflow=int(overflow_b))
+        out = eng.iterate(pos_s, h_s, rm_s, valid_s, cand, cnt, step)
+        (new_pos_s, rho_s, hsml_s, rhom_s, err_mean, err_max, n_sat,
+         overflow, drift) = out
+        err_mean = float(err_mean)
+        drift_acc += float(drift)
+        its_since_build += 1
         err_diff = (err_last - err_mean) / err_mean
         if log:
-            log("wvt_shard", it=it, err_max=round(float(out.err_max), 4),
+            log("wvt_shard", it=it, err_max=round(float(err_max), 4),
                 err_mean=round(err_mean, 5), err_diff=round(err_diff, 5),
-                step=step, overflow=int(out.cand_overflow))
-        if err_diff < err_diff_limit and it > 25:
-            break
-        if err_diff < 0 and err_diff_last < 0 and it > 10:
-            break
-        if err_diff < 0.01 and it > 1:
+                step=step, overflow=int(overflow),
+                drift=round(float(drift), 4))
+        stop = ((err_diff < err_diff_limit and it > 25)
+                or (err_diff < 0 and err_diff_last < 0 and it > 10))
+        if err_diff < 0.01 and it > 1 and not stop:
             step *= 0.8
-        err_last = err_mean
-        err_diff_last = err_diff
-        pos, hsml, rhom = out.pos, out.hsml, out.rho_model
-    return out.pos[:n_real], out.rho[:n_real], out.hsml[:n_real]
+        if not stop:
+            err_last = err_mean
+            err_diff_last = err_diff
+            pos_s, h_s, rm_s = new_pos_s, hsml_s, rhom_s
+        if checkpoint_path and not stop and (
+                (it + 1 - it0) % checkpoint_every == 0):
+            np.savez(checkpoint_path,
+                     pos=np.asarray(_unsort(pos_s, order_total)),
+                     hsml=np.asarray(_unsort(h_s, order_total)),
+                     rhom=np.asarray(_unsort(rm_s, order_total)),
+                     it=it, step=step, err_last=err_last,
+                     err_diff_last=err_diff_last)
+        if stop:
+            break
+
+    # final state in original order: positions BEFORE the rejected move
+    # (the reference keeps the last accepted state on early-stop), with
+    # the density/hsml of the final accepted solve
+    pos_f = _unsort(pos_s, order_total)[:n_real]
+    rho_f = _unsort(out[1], order_total)[:n_real]
+    hsml_f = _unsort(out[2], order_total)[:n_real]
+    return pos_f, rho_f, hsml_f

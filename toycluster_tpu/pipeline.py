@@ -27,7 +27,7 @@ from .utils.logging import stage_log
 def make_ics(cfg: Config, *, seed: Optional[int] = None,
              write: bool = True, log=stage_log,
              check: bool = False, profile_dir: Optional[str] = None,
-             wvt_checkpoint: Optional[str] = None):
+             wvt_checkpoint: Optional[str] = None, mesh=None):
     """Run the full pipeline; returns (scene, particles).
 
     check: audit the neighbour engine by comparing a random subsample of
@@ -35,6 +35,12 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
       "--check mode").
     profile_dir: capture a jax.profiler trace of the WVT hot loop.
     wvt_checkpoint: NPZ path for WVT checkpoint/resume.
+    mesh: optional jax.sharding.Mesh — runs the WVT relaxation (the
+      dominant stage) sharded over the mesh via
+      parallel.wvt_shard.regularise_sharded (structure reuse + the
+      ppermute ring halo exchange), then the remaining stages
+      single-chip.  The multi-chip analogue of the reference's
+      OpenMP-parallel Regularise_sph_particles (wvt_relax.c:25).
     """
     t0 = time.perf_counter()
     scene = build_scene(cfg)
@@ -74,14 +80,37 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
         from .models import wvt, sph, bfield, temperature
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        # holder-list protocol: drop this frame's reference so the WVT
-        # loop can release the particle buffers it never reads (at 1e8
-        # that is ~3 GB of the 16 GB chip — see wvt._OFFLOAD comments)
-        holder = [parts]
-        del parts
-        parts, wvt_fresh = wvt.regularise_sph_particles(
-            scene, ha, holder, log=log, checkpoint_path=wvt_checkpoint,
-            return_fresh=True)
+        if mesh is not None:
+            from .parallel import wvt_shard
+            cool_core = ((cfg.rho0_fac, cfg.rc_fac)
+                         if cfg.double_beta_cool_cores else None)
+            step = 0.035 if cfg.sph_kernel == "m4" else (
+                0.0085 / (2.0 if scene.mtotal < 1e5 else 1.0))
+            n_gas = parts.n_gas
+            pos_gas, _, _ = wvt_shard.regularise_sharded(
+                mesh, ha, parts.pos[:n_gas], boxsize=scene.boxsize,
+                mpart=scene.mpart_gas, desnngb=cfg.desnngb,
+                kernel=cfg.sph_kernel, step=step,
+                max_iter=min(cfg.wvt_max_iter, wvt.NUMITER),
+                err_diff_limit=cfg.wvt_err_diff_limit,
+                cool_core=cool_core, log=log,
+                checkpoint_path=wvt_checkpoint)
+            rhom = sph.global_density_model(pos_gas, ha, scene.boxsize,
+                                            cool_core)
+            parts = parts._replace(
+                pos=parts.pos.at[:n_gas].set(pos_gas), rho_model=rhom)
+            wvt_fresh = False
+            log("wvt_sharded", n_devices=int(mesh.devices.size))
+        else:
+            # holder-list protocol: drop this frame's reference so the
+            # WVT loop can release the particle buffers it never reads
+            # (at 1e8 that is ~3 GB of the 16 GB chip — see
+            # wvt._OFFLOAD comments)
+            holder = [parts]
+            del parts
+            parts, wvt_fresh = wvt.regularise_sph_particles(
+                scene, ha, holder, log=log,
+                checkpoint_path=wvt_checkpoint, return_fresh=True)
         if profile_dir:
             jax.profiler.stop_trace()
         if wvt_fresh:
