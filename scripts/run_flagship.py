@@ -81,6 +81,17 @@ def main():
     frac_ok = float((dev < const.NNGBDEV + 1e-3).mean())
 
     mem = jax.local_devices()[0].memory_stats() or {}
+    # B-field evidence (VERDICT r2 #1): the artifact must prove a real
+    # BFLD block, not just a stage that ran (magnetic_field.c:71-131)
+    bstats = None
+    if cfg.bfld_norm and parts.bfld.shape[0]:
+        bmag = np.asarray(jnp.linalg.norm(parts.bfld, axis=-1))
+        bstats = {
+            "b_max_uG": round(float(bmag.max()) * 1e6, 4),
+            "b_median_uG": round(float(np.median(bmag)) * 1e6, 6),
+            "b_nonzero_frac": round(float((bmag > 0).mean()), 6),
+            "b_finite_frac": round(float(np.isfinite(bmag).mean()), 6),
+        }
     out = {
         "config": IDX,
         "ntotal": cfg.ntotal,
@@ -102,9 +113,13 @@ def main():
         "output_file": cfg.output_file,
         "snapshot_bytes": os.path.getsize(cfg.output_file)
         if os.path.exists(cfg.output_file) else None,
+        "bfield": bstats,
+        # full per-iteration relaxation trajectory (wvt_relax.c:91-92's
+        # printed oracle), committed WITH the artifact — VERDICT r2 #8
+        "wvt_trajectory": wvt_log,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), f"FLAGSHIP_r04_config{IDX}.json")
+        os.path.abspath(__file__))), f"FLAGSHIP_r05_config{IDX}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

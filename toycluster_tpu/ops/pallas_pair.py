@@ -1026,6 +1026,19 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     else:
         psrc = packed
 
+    if sb:
+        # member geometry re-laid as ONE 64-f32 row per superblock: the
+        # pass is gather-ROW-tax bound (~19 cy per 8-f32 row measured),
+        # and a superblock's member rows are contiguous, so gathering
+        # (m_w,) superblock rows of 256 B instead of (m_w*_FAN,) member
+        # rows of 32 B moves the same bytes at 1/_FAN the row count.
+        # Zero padding is safe: member validity is derived from ids
+        # alone and forces dens_skip/no-disp on padded entries.
+        padm = (-nb_blocks) % _FAN
+        psrc_sb = (jnp.concatenate(
+            [psrc, jnp.zeros((padm, 8), psrc.dtype)]) if padm
+            else psrc).reshape(-1, 8 * _FAN)
+
     def run_rows(idc_b, rows_b, hq_b, hmi_b):
         """Chunked skip-word computation for one bucket of rows —
         bounds the (rows, Mb, 3) gather/arithmetic temporaries."""
