@@ -32,6 +32,8 @@ _CAP_FACTOR = 1.2      # candidate radius margin over the model-based h0
 _MAX_REBUILDS = 5
 # in-kernel member skip test for the stream engine (see models/wvt.py)
 _IK_BITS = int(os.environ.get("TOYCLUSTER_IK_BITS", "0")) > 0
+# chunk-refined skip bits (see models/wvt.py _CHUNK_BITS)
+_CHUNK_BITS = int(os.environ.get("TOYCLUSTER_CHUNK_BITS", "1")) > 0
 _MS_CAP = 512          # superblock-budget ceiling: rows needing more go
 #                        to the exact superblock-granular tail path
 _SB_WIDTH_CAP = int(os.environ.get("TOYCLUSTER_SB_WIDTH_CAP", "1536"))
@@ -654,10 +656,18 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
                         inkernel_bits=True)
                 else:
                     bk = state.buckets or (None, None)
+                    if _CHUNK_BITS:
+                        from ..ops.pallas_pair import build_chunk_tab
+                        ctab = build_chunk_tab(
+                            bi.pos.reshape(nb, blk.BLOCK, 3),
+                            jnp.zeros((nb, blk.BLOCK), jnp.float32))
+                    else:
+                        ctab = None
                     bits, safe = stream_skip_bits(
                         bi.bb_lo, bi.bb_hi, None, ids_all,
                         state.cand.idx, cap_b, None, float(boxsize),
-                        sb=True, bucket_ids=bk[0], bucket_widths=bk[1])
+                        sb=True, bucket_ids=bk[0], bucket_widths=bk[1],
+                        chunk_tab=ctab)
                     rho, h, vf, wk, done, _ = stream_wvt_pallas(
                         src_blocks, state.cand.idx, state.cand.count,
                         pos_t, h0_b, cap_b, h0_b, float(mpart),

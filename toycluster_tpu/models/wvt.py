@@ -51,6 +51,10 @@ _SORT_DRIFT_BUDGET = float(_os.environ.get(
 # default until TPU A/B confirms the scalar-unit work hides under the
 # VPU tile stream; outputs are exactly equal either way.
 _IK_BITS = int(_os.environ.get("TOYCLUSTER_IK_BITS", "0")) > 0
+# chunk-refined skip bits (16-particle chunk-hull cross tests with
+# per-receiver-chunk caps): strictly tighter than the member-bbox test
+# (still conservative), default ON; 0 restores the block-bbox test
+_CHUNK_BITS = int(_os.environ.get("TOYCLUSTER_CHUNK_BITS", "1")) > 0
 # superblock-list compaction budget in candidate ELEMENTS (the copies
 # cost 8 B/element); 0 disables compaction outright for HBM-tight runs
 _COMPACT_BUDGET = int(_os.environ.get(
@@ -279,6 +283,12 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
                 [cen_blk, ext_blk, bhm[:, None],
                  jnp.zeros((nb, 1), jnp.float32)],
                 axis=1).astype(jnp.float32)
+        if not _IK_BITS and _CHUNK_BITS:
+            from ..ops.pallas_pair import build_chunk_tab
+            ctab = build_chunk_tab(
+                src[:, :3, :].transpose(0, 2, 1), src[:, 3, :])
+        else:
+            ctab = None
         outs = [[] for _ in range(5)]  # rho, h, vf, done, delta
         for s0 in range(0, nb, _SLAB):
             s1 = min(s0 + _SLAB, nb)
@@ -305,7 +315,8 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
             else:
                 bits, safe = stream_skip_bits(
                     bb_lo, bb_hi, bhm, ids, cand_idx[s0:s1],
-                    cap_b[s0:s1], hm_b[s0:s1], float(boxsize), sb=True)
+                    cap_b[s0:s1], hm_b[s0:s1], float(boxsize), sb=True,
+                    chunk_tab=ctab)
                 rho_s, h_s2, vf_s, _wk, done_s, delta_s = \
                     stream_wvt_pallas(
                         src, cand_idx[s0:s1], cnt_all[s0:s1],
@@ -333,7 +344,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
     # _IK_BITS is read at trace time inside iter_fn; key on the current
     # value so an in-process A/B flip cannot reuse a stale trace
     key = (class_shape, n_gas, n_padded, mpart, boxsize, desnngb, kernel,
-           cool_core, engine, tail_shape, beta, _IK_BITS)
+           cool_core, engine, tail_shape, beta, _IK_BITS, _CHUNK_BITS)
     if key in _ITER_FN_CACHE:
         return _ITER_FN_CACHE[key]
 
@@ -445,12 +456,19 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
             else:
                 bucket_widths = (tuple(w for _, w in class_shape[1:])
                                  if class_shape else None)
+                # chunk cross test (default): 16-particle chunk hulls
+                # both sides + per-receiver-chunk caps — closes most of
+                # the 1.80x kept/needed bbox-slack cushion the r05
+                # audit measured, cutting the kernel's computed tiles
+                from ..ops.pallas_pair import build_chunk_tab
+                ctab = (build_chunk_tab(pos_b, hm_src.reshape(
+                    nb, blk.BLOCK)) if _CHUNK_BITS else None)
                 bits, safe = stream_skip_bits(
                     bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
                     cand_idx, cap_b, hm_b, float(boxsize), sb=True,
                     bucket_ids=(tuple(class_ids) if class_shape
                                 else None),
-                    bucket_widths=bucket_widths)
+                    bucket_widths=bucket_widths, chunk_tab=ctab)
                 # compact each row's list to the superblocks the kernel
                 # will actually touch (the bits already encode this):
                 # ~40% of streamed member blocks were pure visit

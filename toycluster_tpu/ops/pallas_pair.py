@@ -913,12 +913,33 @@ _SLOTS = 2  # DMA double buffer
 
 _BITS_CHUNK = 1024  # rows per chunk in stream_skip_bits (bounds temps)
 
+_N_CHUNKS = 8  # 16-particle sub-chunks per block for the chunk test
+
+
+def build_chunk_tab(pos_b, hm_src_b, n_chunks=_N_CHUNKS):
+    """(nb, n_chunks*8) f32 chunk-geometry table for stream_skip_bits'
+    chunk cross test: per 16-particle chunk of each 128-particle block,
+    [cen xyz, ext xyz, chunk max source hm, 0].  Pad lanes are copies
+    of a real particle (position) with hm zeroed, so chunk hulls stay
+    exact bounds of the block's real content."""
+    nb, B, _ = pos_b.shape
+    csz = B // n_chunks
+    pc = pos_b.reshape(nb, n_chunks, csz, 3)
+    lo = pc.min(axis=2)
+    hi = pc.max(axis=2)
+    bh = hm_src_b.reshape(nb, n_chunks, csz).max(axis=2)
+    tab = jnp.concatenate(
+        [0.5 * (lo + hi), 0.5 * (hi - lo), bh[..., None],
+         jnp.zeros_like(bh[..., None])], axis=-1)
+    return tab.reshape(nb, n_chunks * 8).astype(jnp.float32)
+
 
 @partial(jax.jit, static_argnames=("boxsize", "sb", "margin_frac",
                                    "bucket_widths", "agg"))
 def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
                      hm_rows, boxsize, sb=False, margin_frac=0.0,
-                     bucket_ids=None, bucket_widths=None, agg=False):
+                     bucket_ids=None, bucket_widths=None, agg=False,
+                     chunk_tab=None):
     """Packed per-candidate-block skip words for the stream kernel.
 
     Two bits per block, 16 blocks per int32 word:
@@ -963,8 +984,19 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
     conservative superset of it (a hull in range does not imply any
     member is).  One 2-bit field per superblock; feed
     compact_sb_lists_agg.
+
+    chunk_tab (sb mode only): (nb, CHUNKS*8) f32 per-16-particle-chunk
+    geometry [cen xyz, ext xyz, chunk max hm, 0] built by
+    build_chunk_tab.  Replaces the member-level block-bbox test with an
+    8x8 chunk-bbox CROSS test per (receiver, member) pair, against
+    per-RECEIVER-CHUNK max cap/hm instead of the row max: strictly
+    tighter (the r05 audit measured union kept/needed = 1.80x at 1e6
+    from bbox + row-max-cap slack; chunk boxes span ~1/4 the block
+    extent), still conservative (a chunk bbox bounds its particles, so
+    any true in-range pair keeps its member).
     """
     assert not (sb and agg), "agg operates on unexpanded superblock ids"
+    assert chunk_tab is None or sb, "chunk test needs superblock lists"
     S, Mb = block_rows.shape
     nb_blocks = bb_lo.shape[0]
     qscale = float(2 ** 22) / float(boxsize)
@@ -979,6 +1011,16 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
                       float(2 ** 30)).astype(jnp.int32) + 1)
     hmi = (hm_rows.max(axis=1) if bhm is not None
            else jnp.zeros((S,), jnp.float32))
+    if chunk_tab is not None:
+        ncc = chunk_tab.shape[1] // 8      # receiver/source chunks per block
+        csz = cap_rows.shape[1] // ncc
+        hq8 = (jnp.minimum(
+            cap_rows.reshape(S, ncc, csz).max(axis=2) * mf * qscale,
+            float(2 ** 30)).astype(jnp.int32) + 1)
+        hm8 = (hm_rows.reshape(S, ncc, csz).max(axis=2)
+               if bhm is not None else jnp.zeros((S, ncc), jnp.float32))
+    else:
+        hq8 = hm8 = None
 
     # hoisted-wrap validity (see stream_wvt_pallas): receiver half-extent
     # + max pair range must stay below box/2 on every axis
@@ -1039,11 +1081,18 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
             [psrc, jnp.zeros((padm, 8), psrc.dtype)]) if padm
             else psrc).reshape(-1, 8 * _FAN)
 
-    def run_rows(idc_b, rows_b, hq_b, hmi_b):
+    if chunk_tab is not None:
+        # member chunk geometry as ONE wide row per member block
+        ctab = chunk_tab                       # (nb, ncc*8)
+        ncc_s = chunk_tab.shape[1] // 8
+
+    def run_rows(idc_b, rows_b, hq_b, hmi_b, hq8_b=None, hm8_b=None):
         """Chunked skip-word computation for one bucket of rows —
         bounds the (rows, Mb, 3) gather/arithmetic temporaries."""
         s_rows, m_w = rows_b.shape
         mbx = m_w * _FAN if sb else m_w
+        if chunk_tab is not None:
+            mbx *= ncc_s * ncc_s               # 8x8 cross-test temps
         chunk = min(_BITS_CHUNK, s_rows,
                     max(32, (8 << 20) // max(mbx, 1)))
         nchunk = -(-s_rows // chunk)
@@ -1057,7 +1106,7 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
                 [x, jnp.full((p,) + x.shape[1:], fill, x.dtype)])
 
         def chunk_fn(args):
-            idc_c, rows_c, hq_c, hmi_c = args
+            idc_c, rows_c, hq_c, hmi_c = args[:4]
             if sb:
                 e = (jnp.maximum(rows_c, 0)[:, :, None] * _FAN
                      + jnp.arange(_FAN, dtype=jnp.int32))
@@ -1065,45 +1114,78 @@ def stream_skip_bits(bb_lo, bb_hi, bhm, idc, block_rows, cap_rows,
                 rows_c = jnp.where(ok, e, -1).reshape(
                     rows_c.shape[0], -1)
             rowsc = jnp.maximum(rows_c, 0)
-            pj = psrc[rowsc]                    # (C, Mb, 8) one gather
-            pi = packed[idc_c]                  # (C, 8)
-            d = pi[:, None, :3] - pj[:, :, :3]
-            d = d - boxsize * jnp.round(d / boxsize)
-            gap = jnp.maximum(jnp.abs(d) - (pi[:, None, 3:6]
-                                            + pj[:, :, 3:6]), 0.0)
-            gd = jnp.sqrt((gap * gap).sum(-1))
-            dq = jnp.minimum(gd * qscale,
-                             float(2 ** 30)).astype(jnp.int32)
             valid = rows_c >= 0
-            dens_skip = (dq > hq_c[:, None]) | ~valid
-            if bhm is None:
-                dk = jnp.zeros(rows_c.shape, bool)
+            if chunk_tab is not None:
+                hq8_c, hm8_c = args[4], args[5]
+                C, Mbx = rows_c.shape
+                cj = ctab[rowsc].reshape(C, Mbx, ncc_s, 8)
+                ci = ctab[idc_c].reshape(C, ncc_s, 8)
+                # (C, Mbx, rc, mc, 3) pairwise chunk-bbox gaps
+                d = (ci[:, None, :, None, :3]
+                     - cj[:, :, None, :, :3])
+                d = d - boxsize * jnp.round(d / boxsize)
+                gap = jnp.maximum(
+                    jnp.abs(d) - (ci[:, None, :, None, 3:6]
+                                  + cj[:, :, None, :, 3:6]), 0.0)
+                gd = jnp.sqrt((gap * gap).sum(-1))    # (C,Mbx,rc,mc)
+                dq = jnp.minimum(gd * qscale,
+                                 float(2 ** 30)).astype(jnp.int32)
+                dens_any = (dq <= hq8_c[:, None, :, None]).any(
+                    axis=(2, 3))
+                dens_skip = ~dens_any | ~valid
+                if bhm is None:
+                    dk = jnp.zeros(rows_c.shape, bool)
+                else:
+                    thr = (0.5 * (hm8_c[:, None, :, None]
+                                  + cj[:, :, None, :, 6])
+                           * boxsize * mf)
+                    dk = (gd <= thr).any(axis=(2, 3)) & valid
             else:
-                dk = (gd <= 0.5 * (hmi_c[:, None] + pj[:, :, 6])
-                      * boxsize * mf) & valid
+                pj = psrc[rowsc]                # (C, Mb, 8) one gather
+                pi = packed[idc_c]              # (C, 8)
+                d = pi[:, None, :3] - pj[:, :, :3]
+                d = d - boxsize * jnp.round(d / boxsize)
+                gap = jnp.maximum(jnp.abs(d) - (pi[:, None, 3:6]
+                                                + pj[:, :, 3:6]), 0.0)
+                gd = jnp.sqrt((gap * gap).sum(-1))
+                dq = jnp.minimum(gd * qscale,
+                                 float(2 ** 30)).astype(jnp.int32)
+                dens_skip = (dq > hq_c[:, None]) | ~valid
+                if bhm is None:
+                    dk = jnp.zeros(rows_c.shape, bool)
+                else:
+                    dk = (gd <= 0.5 * (hmi_c[:, None] + pj[:, :, 6])
+                          * boxsize * mf) & valid
             b2 = (dens_skip.astype(jnp.int32)
                   | (dk.astype(jnp.int32) << 1))
             b2 = b2.reshape(b2.shape[0], -1, 16)
             shifts = jnp.arange(16, dtype=jnp.int32) * 2
             return (b2 << shifts).sum(axis=2).astype(jnp.int32)
 
-        words = jax.lax.map(chunk_fn, (
+        mapped = [
             pad(idc_b).reshape(nchunk, chunk),
             pad(rows_b, -1).reshape(nchunk, chunk, m_w),
             pad(hq_b).reshape(nchunk, chunk),
-            pad(hmi_b).reshape(nchunk, chunk)))
+            pad(hmi_b).reshape(nchunk, chunk)]
+        if chunk_tab is not None:
+            mapped += [
+                pad(hq8_b).reshape(nchunk, chunk, ncc_s),
+                pad(hm8_b).reshape(nchunk, chunk, ncc_s)]
+        words = jax.lax.map(chunk_fn, tuple(mapped))
         return words.reshape(s_pad, -1)[:s_rows]
 
     idc_cl = jnp.minimum(idc, nb_blocks - 1)
     nw_full = (Mb * _FAN if sb else Mb) // 16
     if bucket_ids is None:
-        return run_rows(idc_cl, block_rows, hq, hmi), safe
+        return run_rows(idc_cl, block_rows, hq, hmi, hq8, hm8), safe
 
     out = jnp.zeros((S, nw_full), jnp.int32)
     for ids, w in zip(bucket_ids, bucket_widths):
         idr = jnp.maximum(ids, 0)
         wb = run_rows(idc_cl[idr], block_rows[:, :w][idr], hq[idr],
-                      hmi[idr])
+                      hmi[idr],
+                      None if hq8 is None else hq8[idr],
+                      None if hm8 is None else hm8[idr])
         tgt = jnp.where(ids >= 0, ids, S)
         out = out.at[tgt, :wb.shape[1]].set(wb, mode="drop")
     return out, safe
