@@ -480,8 +480,17 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                 # elements; 0 disables compaction — HBM-tight configs).
                 if cand_idx.shape[0] * cand_idx.shape[1] <= \
                         _COMPACT_BUDGET:
-                    cand_it, pos_it, cnt_it = compact_sb_lists(
-                        cand_idx, cnt_all, bits, do_disp=True)
+                    if class_shape:
+                        from ..ops.pallas_pair import \
+                            compact_sb_lists_bucketed
+                        cand_it, pos_it, cnt_it = \
+                            compact_sb_lists_bucketed(
+                                cand_idx, cnt_all, bits,
+                                tuple(class_ids), bucket_widths,
+                                do_disp=True)
+                    else:
+                        cand_it, pos_it, cnt_it = compact_sb_lists(
+                            cand_idx, cnt_all, bits, do_disp=True)
                 else:
                     cand_it, pos_it, cnt_it = cand_idx, None, cnt_all
                 rho, h, vf, wk, done, delta = stream_wvt_pallas(

@@ -1229,6 +1229,30 @@ def compact_sb_lists(cand, cnt, bits, *, do_disp=True):
     return cand_it, pos_it, cnt_it
 
 
+def compact_sb_lists_bucketed(cand, cnt, bits, bucket_ids,
+                              bucket_widths, *, do_disp=True):
+    """compact_sb_lists restricted to each count-bucket's true list
+    width: the full-width lax.sort pays for the padded width on every
+    row while p50 counts sit ~4x below it (at 1e6: 94% of rows live in
+    the 64-wide bucket of a 256-wide list).  Same outputs, scattered
+    back into full-width arrays; rows outside every bucket (none in
+    production — the buckets partition rows) keep an empty list."""
+    S, M = cand.shape
+    cand_it = jnp.zeros((S, M), cand.dtype)
+    pos_it = jnp.zeros((S, M), jnp.int32)
+    cnt_it = jnp.zeros((S,), jnp.int32)
+    for ids, w in zip(bucket_ids, bucket_widths):
+        idr = jnp.maximum(ids, 0)
+        c_b, p_b, n_b = compact_sb_lists(
+            cand[:, :w][idr], jnp.minimum(cnt[idr], w),
+            bits[:, :(w + 1) // 2][idr], do_disp=do_disp)
+        tgt = jnp.where(ids >= 0, ids, S)
+        cand_it = cand_it.at[tgt, :w].set(c_b, mode="drop")
+        pos_it = pos_it.at[tgt, :w].set(p_b, mode="drop")
+        cnt_it = cnt_it.at[tgt].set(n_b, mode="drop")
+    return cand_it, pos_it, cnt_it
+
+
 def compact_sb_lists_agg(cand, cnt, bits_sb, *, do_disp=True):
     """Compaction from STAGE-A superblock-hull bits (one 2-bit field
     per superblock from stream_skip_bits(agg=True), a conservative
