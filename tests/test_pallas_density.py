@@ -601,26 +601,6 @@ def test_compacted_lists_are_exact(setup):
     for a, b in zip(base, compacted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # bucketed compaction (per-width sorts): identical results again
-    from toycluster_tpu.ops.pallas_pair import compact_sb_lists_bucketed
-    counts = np.asarray(cand_sb.count)
-    w_split = max(2, int(np.median(counts)))
-    lo_ids = np.where(counts <= w_split)[0].astype(np.int32)
-    hi_ids = np.where(counts > w_split)[0].astype(np.int32)
-    b_ids = tuple(jnp.asarray(ids) for ids in (lo_ids, hi_ids)
-                  if len(ids))
-    b_w = tuple(w for ids, w in ((lo_ids, w_split),
-                                 (hi_ids, cand_sb.idx.shape[1]))
-                if len(ids))
-    cand_b, pos_b2, cnt_b = compact_sb_lists_bucketed(
-        cand_sb.idx, cand_sb.count, bits, b_ids, b_w, do_disp=True)
-    np.testing.assert_array_equal(np.asarray(cnt_b), np.asarray(cnt_it))
-    bucketed = stream_wvt_pallas(src, cand_b, cnt_b, pos_t,
-                                 h0_b, cap_b, hm_b, 1.0, BOX, **kw,
-                                 cand_pos=pos_b2)
-    for a, b in zip(base, bucketed):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
 
 def test_inkernel_bits_matches_precomputed(setup):
     """TOYCLUSTER_IK_BITS path: stage-A superblock-HULL bits compact
@@ -728,8 +708,7 @@ def test_chunk_bits_prune_exact_zeros(setup):
     bits_m, safe_m = stream_skip_bits(
         bi.bb_lo, bi.bb_hi, bhm, rec, cand_sb.idx, cap_b, hm_b,
         float(BOX), sb=True)
-    ctab = build_chunk_tab(bi.pos.reshape(nb, blk.BLOCK, 3),
-                           hm_sorted.reshape(nb, blk.BLOCK))
+    ctab = build_chunk_tab(pos_t, hm_sorted.reshape(nb, blk.BLOCK))
     bits_c, safe_c = stream_skip_bits(
         bi.bb_lo, bi.bb_hi, bhm, rec, cand_sb.idx, cap_b, hm_b,
         float(BOX), sb=True, chunk_tab=ctab)

@@ -659,7 +659,7 @@ def find_sph_quantities(scene: Scene, ha: HaloArrays, parts: Particles,
                     if _CHUNK_BITS:
                         from ..ops.pallas_pair import build_chunk_tab
                         ctab = build_chunk_tab(
-                            bi.pos.reshape(nb, blk.BLOCK, 3),
+                            pos_t,
                             jnp.zeros((nb, blk.BLOCK), jnp.float32))
                     else:
                         ctab = None

@@ -285,8 +285,7 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
                 axis=1).astype(jnp.float32)
         if not _IK_BITS and _CHUNK_BITS:
             from ..ops.pallas_pair import build_chunk_tab
-            ctab = build_chunk_tab(
-                src[:, :3, :].transpose(0, 2, 1), src[:, 3, :])
+            ctab = build_chunk_tab(src[:, :3, :], src[:, 3, :])
         else:
             ctab = None
         outs = [[] for _ in range(5)]  # rho, h, vf, done, delta
@@ -461,7 +460,7 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                 # the 1.80x kept/needed bbox-slack cushion the r05
                 # audit measured, cutting the kernel's computed tiles
                 from ..ops.pallas_pair import build_chunk_tab
-                ctab = (build_chunk_tab(pos_b, hm_src.reshape(
+                ctab = (build_chunk_tab(pos_t, hm_src.reshape(
                     nb, blk.BLOCK)) if _CHUNK_BITS else None)
                 bits, safe = stream_skip_bits(
                     bb_lo, bb_hi, bhm, jnp.arange(nb, dtype=jnp.int32),
@@ -478,19 +477,15 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
                 # width 320) for a ~2.5% kernel win — skip compaction
                 # above ~600 MB of copies (TOYCLUSTER_COMPACT_BUDGET
                 # elements; 0 disables compaction — HBM-tight configs).
+                # NB a per-bucket compaction variant (sorts at each
+                # count bucket's true width) was built and measured
+                # SLOWER (86 vs 29 ms at 1e6: the per-bucket row
+                # gather/scatter-back outweighs the narrower sorts) —
+                # reverted; the full-width sort stays.
                 if cand_idx.shape[0] * cand_idx.shape[1] <= \
                         _COMPACT_BUDGET:
-                    if class_shape:
-                        from ..ops.pallas_pair import \
-                            compact_sb_lists_bucketed
-                        cand_it, pos_it, cnt_it = \
-                            compact_sb_lists_bucketed(
-                                cand_idx, cnt_all, bits,
-                                tuple(class_ids), bucket_widths,
-                                do_disp=True)
-                    else:
-                        cand_it, pos_it, cnt_it = compact_sb_lists(
-                            cand_idx, cnt_all, bits, do_disp=True)
+                    cand_it, pos_it, cnt_it = compact_sb_lists(
+                        cand_idx, cnt_all, bits, do_disp=True)
                 else:
                     cand_it, pos_it, cnt_it = cand_idx, None, cnt_all
                 rho, h, vf, wk, done, delta = stream_wvt_pallas(

@@ -916,21 +916,26 @@ _BITS_CHUNK = 1024  # rows per chunk in stream_skip_bits (bounds temps)
 _N_CHUNKS = 8  # 16-particle sub-chunks per block for the chunk test
 
 
-def build_chunk_tab(pos_b, hm_src_b, n_chunks=_N_CHUNKS):
+def build_chunk_tab(pos_t, hm_src_b, n_chunks=_N_CHUNKS):
     """(nb, n_chunks*8) f32 chunk-geometry table for stream_skip_bits'
     chunk cross test: per 16-particle chunk of each 128-particle block,
     [cen xyz, ext xyz, chunk max source hm, 0].  Pad lanes are copies
     of a real particle (position) with hm zeroed, so chunk hulls stay
-    exact bounds of the block's real content."""
-    nb, B, _ = pos_b.shape
+    exact bounds of the block's real content.
+
+    Takes the kernel's (nb, 3, B) source layout so the 16-element
+    min/max runs over the MINOR axis (the (nb, B, 3) form reduced over
+    the middle axis measured 27 ms at 1e6)."""
+    nb, _, B = pos_t.shape
     csz = B // n_chunks
-    pc = pos_b.reshape(nb, n_chunks, csz, 3)
-    lo = pc.min(axis=2)
-    hi = pc.max(axis=2)
+    pc = pos_t.reshape(nb, 3, n_chunks, csz)
+    lo = pc.min(axis=3)
+    hi = pc.max(axis=3)                       # (nb, 3, nc)
     bh = hm_src_b.reshape(nb, n_chunks, csz).max(axis=2)
     tab = jnp.concatenate(
-        [0.5 * (lo + hi), 0.5 * (hi - lo), bh[..., None],
-         jnp.zeros_like(bh[..., None])], axis=-1)
+        [(0.5 * (lo + hi)).transpose(0, 2, 1),
+         (0.5 * (hi - lo)).transpose(0, 2, 1),
+         bh[..., None], jnp.zeros_like(bh[..., None])], axis=-1)
     return tab.reshape(nb, n_chunks * 8).astype(jnp.float32)
 
 
@@ -1226,30 +1231,6 @@ def compact_sb_lists(cand, cnt, bits, *, do_disp=True):
         ((~keep).astype(jnp.int32), cand.astype(jnp.int32), pos),
         dimension=1, is_stable=True, num_keys=1)
     cnt_it = keep.sum(axis=1).astype(jnp.int32)
-    return cand_it, pos_it, cnt_it
-
-
-def compact_sb_lists_bucketed(cand, cnt, bits, bucket_ids,
-                              bucket_widths, *, do_disp=True):
-    """compact_sb_lists restricted to each count-bucket's true list
-    width: the full-width lax.sort pays for the padded width on every
-    row while p50 counts sit ~4x below it (at 1e6: 94% of rows live in
-    the 64-wide bucket of a 256-wide list).  Same outputs, scattered
-    back into full-width arrays; rows outside every bucket (none in
-    production — the buckets partition rows) keep an empty list."""
-    S, M = cand.shape
-    cand_it = jnp.zeros((S, M), cand.dtype)
-    pos_it = jnp.zeros((S, M), jnp.int32)
-    cnt_it = jnp.zeros((S,), jnp.int32)
-    for ids, w in zip(bucket_ids, bucket_widths):
-        idr = jnp.maximum(ids, 0)
-        c_b, p_b, n_b = compact_sb_lists(
-            cand[:, :w][idr], jnp.minimum(cnt[idr], w),
-            bits[:, :(w + 1) // 2][idr], do_disp=do_disp)
-        tgt = jnp.where(ids >= 0, ids, S)
-        cand_it = cand_it.at[tgt, :w].set(c_b, mode="drop")
-        pos_it = pos_it.at[tgt, :w].set(p_b, mode="drop")
-        cnt_it = cnt_it.at[tgt].set(n_b, mode="drop")
     return cand_it, pos_it, cnt_it
 
 
