@@ -16,7 +16,12 @@ import os
 import sys
 import time
 
-N_GAS = int(os.environ.get("BENCH_N_GAS", 1_000_000))
+# Default N matches the BASELINE.json north star (converged 1e7-particle
+# two-cluster IC -> n_gas = 5e6; BASELINE.md).  The CPU baseline
+# denominator is N-independent (cell lists, BASELINE_MEASURED.json
+# measured at 1e5); r3-measured TPU throughput at 1e6 gas is ~12% lower
+# than at 5e6 (2.83M vs 3.23M updates/s) from fixed per-iteration duty.
+N_GAS = int(os.environ.get("BENCH_N_GAS", 5_000_000))
 # 16 timed iterations: two full REBUILD_EVERY=8 build cycles, so the
 # amortised build cost is represented at its production duty cycle —
 # the reference's converged runs take 25-64 iterations
@@ -92,12 +97,18 @@ def main():
     except Exception:
         pass
     vs = updates_per_sec / baseline if baseline else None
+    # vs a 16-core OpenMP node: ESTIMATED — the host exposes one core, so
+    # BASELINE_MEASURED.json measured 1 core and documents an assumed
+    # ~x13 multi-core scaling ("divide by ~13"); every node-level claim
+    # inherits that unmeasured factor (BASELINE.md's bar: >=50x a node)
+    vs_node = vs / 13.0 if vs else None
 
     print(json.dumps({
         "metric": "wvt_relax_particle_updates_per_sec_per_chip",
         "value": round(updates_per_sec, 1),
         "unit": "particle-updates/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "vs_node_est_x13": round(vs_node, 2) if vs_node else None,
         "n_gas": n_gas, "iters": iters, "seconds": round(dt, 3),
         "median_iter_s": round(med, 4), "compile_capped": n_capped,
         "contract_frac": round(contract, 5),

@@ -91,13 +91,24 @@ def main():
         bi.bb_lo, bi.bb_hi, bhm, ids, state.cand.idx, cap_b, hm_b,
         float(boxsize), sb=True, bucket_ids=bk[0], bucket_widths=bk[1])
     bits_np = np.asarray(bits)          # (nb, ceil(m_sb*_FAN/16)) int32
+    # the PRODUCTION bits (chunk cross test, commit 3d39df6): same call
+    # with the 16-particle chunk-geometry table, as the WVT loop builds
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    from toycluster_tpu.ops.pallas_pair import build_chunk_tab
+    ctab = build_chunk_tab(pos_t, hm_src.reshape(nb, blk.BLOCK))
+    bits_c, _ = stream_skip_bits(
+        bi.bb_lo, bi.bb_hi, bhm, ids, state.cand.idx, cap_b, hm_b,
+        float(boxsize), sb=True, bucket_ids=bk[0], bucket_widths=bk[1],
+        chunk_tab=ctab)
+    bits_c_np = np.asarray(bits_c)
     cand_np = np.asarray(state.cand.idx)
 
     # decode kept member counts per row from the packed 2-bit fields
-    def decode_row(r):
+    def decode_row(r, src=None):
+        src = bits_np if src is None else src
         n_m = min(cnt[r], m_sb) * _FAN
         idx = np.arange(n_m)
-        words = bits_np[r, idx >> 4]
+        words = src[r, idx >> 4]
         b2 = (words >> (2 * (idx & 15))) & 3
         dens_keep = (b2 & 1) == 0
         disp_keep = (b2 & 2) == 2
@@ -140,14 +151,18 @@ def main():
         return jax.vmap(one)(members)
 
     tot = dict(kept_d=0, kept_s=0, kept_u=0, need_d=0, need_s=0,
-               need_u=0, pairs_s=0, pairs_d=0, pairs_cap=0, listed=0)
+               need_u=0, pairs_s=0, pairs_d=0, pairs_cap=0, listed=0,
+               ckept_d=0, ckept_s=0, ckept_u=0, miss=0)
     t0 = time.perf_counter()
     for r in rows:
         n_sb = min(cnt[r], m_sb)
         members = np.full(m_sb * _FAN, -1, np.int64)
         sbs = cand_np[r, :n_sb]
         mem = (sbs[:, None] * _FAN + np.arange(_FAN)[None, :]).reshape(-1)
-        mem = mem[(mem >= 0) & (mem < nb)]
+        # keep phantom members (>= nb: tail-superblock padding) as -1 IN
+        # PLACE — compacting them out shifts every later position against
+        # the packed bit fields and fabricates per-position mismatches
+        mem = np.where((mem >= 0) & (mem < nb), mem, -1)
         members[: len(mem)] = mem
         any_d, any_s, np_s, np_d, np_cap = (
             np.asarray(x) for x in row_audit(int(r), jnp.asarray(members)))
@@ -157,7 +172,15 @@ def main():
         tot["kept_d"] += int(dens_keep.sum())
         tot["kept_s"] += int(disp_keep.sum())
         tot["kept_u"] += int((dens_keep | disp_keep).sum())
+        cd, cs = decode_row(r, bits_c_np)
+        tot["ckept_d"] += int(cd.sum())
+        tot["ckept_s"] += int(cs.sum())
+        tot["ckept_u"] += int((cd | cs).sum())
         valid_m = members[:n_m] >= 0
+        # conservativeness audit: a needed member must stay kept
+        tot["miss"] += int(((np.asarray(any_d[:n_m]) & valid_m) & ~cd).sum()
+                           + ((np.asarray(any_s[:n_m]) & valid_m)
+                              & ~cs).sum())
         tot["need_d"] += int((any_d[:n_m] & valid_m).sum())
         tot["need_s"] += int((any_s[:n_m] & valid_m).sum())
         tot["need_u"] += int(((any_d | any_s)[:n_m] & valid_m).sum())
@@ -171,13 +194,18 @@ def main():
     print(f"{'listed members/row':34s} {tot['listed']/nr:9.1f}")
     for k, lab in [("d", "density"), ("s", "disp"), ("u", "union")]:
         print(f"{lab+' kept/row':34s} {tot['kept_'+k]/nr:9.1f}")
+        print(f"{lab+' kept/row (chunk bits)':34s} {tot['ckept_'+k]/nr:9.1f}"
+              f"  cushion {tot['ckept_'+k]/max(tot['need_'+k],1):.2f}x")
         print(f"{lab+' needed/row':34s} {tot['need_'+k]/nr:9.1f}  "
               f"cushion {tot['kept_'+k]/max(tot['need_'+k],1):.2f}x")
+    print(f"{'needed-but-dropped (must be 0)':34s} {tot['miss']:9d}")
     print(f"{'tile pair volume (union kept)':34s} "
           f"{tot['kept_u']*B2/nr:9.0f}")
+    print(f"{'tile pair volume (chunk kept)':34s} "
+          f"{tot['ckept_u']*B2/nr:9.0f}")
     print(f"{'true pairs r<cap_i':34s} {tot['pairs_cap']/nr:9.0f}  "
           f"granularity cushion "
-          f"{tot['kept_u']*B2/max(tot['pairs_cap'],1):.2f}x")
+          f"{tot['ckept_u']*B2/max(tot['pairs_cap'],1):.2f}x")
     print(f"{'true pairs r<h_i (solved)':34s} {tot['pairs_s']/nr:9.0f}")
     print(f"{'true pairs disp range':34s} {tot['pairs_d']/nr:9.0f}")
 

@@ -105,15 +105,14 @@ def main():
     t("skip_bits (member, bucketed)", bits_j,
       bb_lo, bb_hi, bhm, cap_b, hm_b, reps=5)
 
-    from toycluster_tpu.ops.pallas_pair import (build_chunk_tab,
-                                                compact_sb_lists_bucketed)
-    ctab = build_chunk_tab(pos_b, hm_src.reshape(nb, blk.BLOCK))
+    from toycluster_tpu.ops.pallas_pair import build_chunk_tab
+    ctab = build_chunk_tab(pos_t, hm_src.reshape(nb, blk.BLOCK))
     bitsc_j = jax.jit(lambda lo, hi, bm, cb, hb, ct: stream_skip_bits(
         lo, hi, bm, ids, cand_idx, cb, hb, float(boxsize), sb=True,
         bucket_ids=b_ids, bucket_widths=b_w, chunk_tab=ct))
     bits, safe = t("skip_bits (chunk cross, prod)", bitsc_j,
                    bb_lo, bb_hi, bhm, cap_b, hm_b, ctab, reps=5)
-    t("build_chunk_tab", jax.jit(build_chunk_tab), pos_b,
+    t("build_chunk_tab", jax.jit(build_chunk_tab), pos_t,
       hm_src.reshape(nb, blk.BLOCK), reps=5)
 
     agg_j = jax.jit(lambda lo, hi, bm, cb, hb: stream_skip_bits(
@@ -123,12 +122,8 @@ def main():
 
     comp_j = jax.jit(lambda c, n, b: compact_sb_lists(
         c, n, b, do_disp=True))
-    t("compact_sb_lists (full width)", comp_j, cand_idx, cnt_all, bits,
-      reps=5)
-    compb_j = jax.jit(lambda c, n, b: compact_sb_lists_bucketed(
-        c, n, b, b_ids, b_w, do_disp=True))
     cand_it, pos_it, cnt_it = t(
-        "compact_sb_lists (bucketed)", compb_j, cand_idx, cnt_all,
+        "compact_sb_lists (full width)", comp_j, cand_idx, cnt_all,
         bits, reps=5)
     print(f"  trips p50 {int(jnp.median(cnt_it))} "
           f"(full {int(jnp.median(cnt_all))})")

@@ -526,11 +526,11 @@ def classed_selections(state: NeighbourState):
 
 def expand_tail_rows(sb_rows, nb):
     """(T, M_sb) superblock ids -> (T, M_sb*SUPER) block ids.  Invalid
-    entries map to -1.  Invariant relied on by consumers: valid entries
-    are CONTIGUOUS at the row front (rows are count-prefixed), so -1s
-    land at the row tails — true both for ascending tail lists and for
-    the distance-ordered lists find_candidates_super feeds the curl
-    slabs."""
+    entries map to -1.  The only invariant consumers may rely on is
+    PER-ENTRY validity (entry >= 0): -1s are NOT confined to row tails —
+    when nb % SUPER != 0 the tail superblock expands to mid-row -1s
+    wherever a distance-ordered list places it.  pair_ops._gather masks
+    each entry independently (cidx >= 0), so this is safe."""
     t, m = sb_rows.shape
     e = (jnp.maximum(sb_rows, 0)[:, :, None] * blk.SUPER
          + jnp.arange(blk.SUPER, dtype=jnp.int32))

@@ -123,26 +123,35 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
         else:
             parts, nstate = sph.find_sph_quantities(scene, ha, parts,
                                                     return_state=True)
+            jax.block_until_ready(parts.rho)
             log("sph_quantities")
         if check:
             _check_density(scene, parts, log)
         if cfg.bfld_norm:
             parts = bfield.make_magnetic_field(scene, ha, parts, nstate)
+            # barrier for truthful attribution: without it the async
+            # curl dispatch drains into the next host-syncing stage
+            # (the r05 config-5 artifact booked it under mass_census)
+            jax.block_until_ready(parts.bfld)
             log("magnetic_field")
         cool_core = ((cfg.rho0_fac, cfg.rc_fac)
                      if cfg.double_beta_cool_cores else None)
         parts, _ = pos_mod.reassign_gas_to_halos(parts, ha, scene.boxsize,
                                                  cool_core)
+        jax.block_until_ready(parts.halo)
         log("reassign")
         pos_mod.show_mass_in_r200(scene, parts, log=log)  # main.c:60
         parts = temperature.make_temperatures(scene, parts)
+        jax.block_until_ready(parts.u)
         log("temperatures")
 
     from .models import velocities, kinematics
     parts = velocities.make_velocities(key, scene, ha, parts)
+    jax.block_until_ready(parts.vel)
     log("velocities")
 
     parts = kinematics.apply_kinematics(scene, parts)
+    jax.block_until_ready(parts.vel)
     log("kinematics")
 
     if write:
