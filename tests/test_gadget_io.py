@@ -94,3 +94,25 @@ def test_header_packs_to_256():
     h2 = GadgetHeader.unpack(h.pack())
     assert h2.npart == [1] * 6
     assert h2.mass == [0.5] * 6
+
+
+def test_device_streamed_bytes_match_numpy(tmp_path, monkeypatch):
+    """Device arrays stream through chunked dynamic-slice fetches; the
+    file must be byte-identical to the whole-buffer numpy path,
+    including a ragged tail chunk (n not divisible by chunk rows)."""
+    import jax.numpy as jnp
+    from toycluster_tpu.io import gadget
+
+    # 12-byte rows / 64-byte chunks -> 5 rows per chunk; n=23 gives a
+    # 3-row tail that exercises the clamped-start trim in _fetch_chunk.
+    monkeypatch.setattr(gadget, "_FETCH_CHUNK_BYTES", 64)
+    gadget._chunk_taker.cache_clear()
+    kw = _mk(n_gas=9, n_dm=14)
+    p_np = str(tmp_path / "snap_np")
+    write_snapshot(p_np, **kw)
+    dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+           for k, v in kw.items()}
+    p_dev = str(tmp_path / "snap_dev")
+    write_snapshot(p_dev, **dev)
+    gadget._chunk_taker.cache_clear()
+    assert open(p_dev, "rb").read() == open(p_np, "rb").read()

@@ -14,6 +14,7 @@ A reader is provided for round-trip tests and downstream tooling.
 
 from __future__ import annotations
 
+import functools
 import os
 import struct
 from collections import deque
@@ -115,6 +116,32 @@ def _chunk_rows(shape, itemsize) -> int:
     return max(1, _FETCH_CHUNK_BYTES // max(row_bytes, 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _chunk_taker(rows: int):
+    """One jitted dynamic-slice per chunk-row count.  `arr[s:s+rows]`
+    bakes the start offset into the HLO, so every distinct chunk start
+    minted a fresh remote compile (~1 s each: the POS block alone paid
+    ~143 compiles = 184 s at 1e8, /tmp/pwriter.log 2026-08-20).  A
+    traced start argument compiles once per (shape, rows) and turns the
+    block into pure transfer."""
+    import jax
+
+    @jax.jit
+    def take(a, s):
+        return jax.lax.dynamic_slice_in_dim(a, s, rows)
+
+    return take
+
+
+def _fetch_chunk(take, arr, s, rows, n, dtype):
+    """Fetch rows [s, s+rows) as numpy; dynamic_slice clamps the start
+    when s + rows > n, so trim the overlap off the front of the tail."""
+    chunk = np.asarray(take(arr, min(s, n - rows)))
+    if s + rows > n:
+        chunk = chunk[rows - (n - s):]
+    return np.ascontiguousarray(chunk, dtype)
+
+
 def _write_block_streamed(fp, label, arr, vpe, dtype, pool):
     """Emit one framed block, fetching device chunks through the pool
     with a read-ahead window while earlier chunks hit the disk."""
@@ -126,23 +153,24 @@ def _write_block_streamed(fp, label, arr, vpe, dtype, pool):
     fp.write(struct.pack("<i", nbytes))
     if arr_np is not None:
         np.ascontiguousarray(arr_np, dtype).tofile(fp)
-    else:
-        import jax
-        rows = _chunk_rows(arr.shape, np.dtype(dtype).itemsize)
+    elif n:
+        rows = min(n, _chunk_rows(arr.shape, np.dtype(dtype).itemsize))
+        take = _chunk_taker(rows)
         window: deque = deque()
         starts = list(range(0, n, rows))
         it = iter(starts)
         depth = max(2, 2 * _FETCH_THREADS)
         for s in starts[:depth]:
-            window.append(pool.submit(jax.device_get, arr[s:s + rows]))
+            window.append(pool.submit(_fetch_chunk, take, arr, s, rows,
+                                      n, dtype))
             next(it)
         while window:
             chunk = window.popleft().result()
             for s in it:
-                window.append(pool.submit(jax.device_get,
-                                          arr[s:s + rows]))
+                window.append(pool.submit(_fetch_chunk, take, arr, s,
+                                          rows, n, dtype))
                 break
-            np.ascontiguousarray(chunk, dtype).tofile(fp)
+            chunk.tofile(fp)
     fp.write(struct.pack("<i", nbytes))
 
 
