@@ -1,8 +1,16 @@
 """Position sampling (device, jitted).
 
 Replaces the reference's per-thread erand48 rejection loops
-(positions.c:25-133) with vmapped inverse-CDF draws + masked
-`lax.while_loop` batch rejection under counter-based `jax.random` keys.
+(positions.c:25-133) with vmapped inverse-CDF draws + oversampled batch
+rejection under counter-based `jax.random` keys: each round draws one
+oversized iid batch, tests acceptance, and compacts the accepted lanes
+into the output buffer with a single drop-mode scatter; a host-checked
+loop issues further (rate-adapted) rounds for any shortfall.  Lanes are
+iid and acceptance is per-lane, so keeping the accepted prefix of an
+oversampled batch draws from exactly the reference's conditional
+distribution — with ~2 device dispatches instead of a device-side
+`lax.while_loop` (measured ~70x slower than its own unrolled body on
+this TPU backend when the draw contains a searchsorted table inversion).
 Positions are sampled around each halo's centre; `shift_origin` moves them
 into the periodic box afterwards (setup.c:427-500).
 """
@@ -83,75 +91,119 @@ def halo_containing_dm(pos_abs, ha: HaloArrays, sub_first, boxsize):
     return jnp.where(oob, -1, best)
 
 
-def _rejection_sample(key, n, draw_fn, accept_fn):
-    """Masked batch rejection: redraw all unaccepted lanes per round."""
-    pos0 = jnp.zeros((n, 3), jnp.float32)
-    acc0 = jnp.zeros((n,), bool)
+def _quant_batch(m: int) -> int:
+    """Round a draw-batch size up to 2 mantissa bits ({4,5,6,7} x 2^k):
+    few distinct program shapes per process (compile reuse) without the
+    ~2x padding waste of plain pow2 rounding."""
+    m = max(int(m), 1024)
+    k = (m - 1).bit_length() - 3  # ≥ 8 lanes, so k ≥ 0 after max above
+    step = 1 << k
+    return -(-m // step) * step
 
-    def cond(state):
-        i, _, acc, _ = state
-        return (~jnp.all(acc)) & (i < _MAX_REJECT_ROUNDS)
 
-    def body(state):
-        i, key, acc, pos = state
+def _compact_fill(out, c, n_t, cand, ok):
+    """Compact the accepted lanes of one round into out[c:...] via a
+    drop-mode scatter: accepted lane j lands at c + (number of accepted
+    lanes before j); rejected lanes and overshoot past the buffer edge
+    scatter-drop.  n_t is the DYNAMIC fill target (<= buffer size)."""
+    nq = out.shape[0]
+    tgt = jnp.where(ok, c + jnp.cumsum(ok) - 1, nq)
+    out = out.at[tgt].set(cand, mode="drop")
+    return out, jnp.minimum(c + ok.sum(), n_t)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _dm_round(sub, out, c, n_t, ha, i, sub_first: int, boxsize: float,
+              m: int):
+    """One DM rejection round: Hernquist inverse-CDF draw of m iid lanes
+    (positions.c:48-65) + foreign-halo acceptance + compaction."""
+    kd, kr = jax.random.split(sub)
+    dirs = _sphere_dirs(kd, m)
+    sq = jnp.sqrt(jax.random.uniform(kr, (m,)) * ha.mass_corr_fac[i])
+    r = ha.a_hernq[i] * sq / (1.0 - sq)
+    cand = dirs * r[:, None]
+    ok = halo_containing_dm(cand + ha.d_com[i], ha, sub_first,
+                            boxsize) == i
+    return _compact_fill(out, c, n_t, cand, ok)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _gas_round(sub, out, c, n_t, ha, i, boxsize: float, cool_core,
+               m: int):
+    """One gas rejection round: tabulated M(<r) inversion draw
+    (positions.c:105-106) + foreign-halo/out-of-box acceptance +
+    compaction."""
+    table = SplineTable(ha.minv_x[i], ha.minv_y[i], ha.minv_m2[i])
+    kd, kr = jax.random.split(sub)
+    dirs = _sphere_dirs(kd, m)
+    mass = jax.random.uniform(kr, (m,)) * ha.mass_gas[i]
+    r = spline_eval(table, mass)
+    cand = dirs * r[:, None]
+    owner = halo_containing_gas(cand + ha.d_com[i], ha, boxsize,
+                                cool_core)
+    inside = jnp.all(jnp.abs(cand) <= boxsize / 2.0, axis=-1)
+    ok = (owner == i) & inside
+    return _compact_fill(out, c, n_t, cand, ok)
+
+
+def _rejection_fill(key, n, round_fn, p_est=0.92):
+    """Oversample + compact (host-checked rounds): the batch-rejection
+    engine shared by the position samplers.  Each round is ONE program
+    (`round_fn(sub, out, c, n_t, m)`), with round sizes adapted to the
+    measured acceptance rate — usually a single round suffices.
+    Equivalent in distribution to the reference's per-particle rejection
+    loops (positions.c:48-133): lanes are iid, acceptance is per-lane,
+    and compaction keeps accepted lanes in draw order.
+
+    The output buffer is batch-quantized (static shape reuse across the
+    ~50 halos of a substructure scene); the true target n rides as a
+    dynamic scalar and callers slice [:n]."""
+    nq = _quant_batch(n)
+    out = jnp.zeros((nq, 3), jnp.float32)
+    c = jnp.int32(0)
+    n_t = jnp.int32(n)
+    filled = 0
+    for _ in range(_MAX_REJECT_ROUNDS):
+        m = _quant_batch((n - filled) / max(p_est, 0.01) * 1.08)
         key, sub = jax.random.split(key)
-        cand = draw_fn(sub, n)
-        ok = accept_fn(cand)
-        take = (~acc) & ok
-        pos = jnp.where(take[:, None], cand, pos)
-        return i + 1, key, acc | ok, pos
+        out, c = round_fn(sub, out, c, n_t, m)
+        new_filled = int(c)   # one host sync per round; rounds are few
+        p_est = max((new_filled - filled) / m, 0.01)
+        filled = new_filled
+        if filled >= n:
+            return out, jnp.ones((nq,), bool)
+    # unreachable for physical configs (acceptance is bounded below by
+    # the halo's own density support); mirror the reference's bounded
+    # fallback (velocities.c:94-95 pattern): unfilled lanes report False
+    return out, jnp.arange(nq) < filled
 
-    _, _, acc, pos = jax.lax.while_loop(cond, body, (0, key, acc0, pos0))
-    return pos, acc
 
-
-@partial(jax.jit, static_argnums=(3, 4, 5))
 def sample_halo_dm(key, ha: HaloArrays, i, n: int, sub_first: int,
                    boxsize: float):
     """Hernquist inverse-CDF sampling with foreign-halo rejection
-    (positions.c:48-88).  The halo index i is DYNAMIC and n is
-    pow2-quantized by the caller, so substructure scenes (~50 halos)
-    compile a handful of programs instead of one per halo."""
-    a = ha.a_hernq[i]
-    qmax = ha.mass_corr_fac[i]
+    (positions.c:48-88) via the oversample+compact engine.  The halo
+    index i is DYNAMIC (a traced scalar) and buffer/batch sizes are
+    quantized, so substructure scenes (~50 halos) compile a handful of
+    programs instead of one per halo.  Returns (pos (n, 3), acc (n,))."""
+    def round_fn(sub, out, c, n_t, m):
+        return _dm_round(sub, out, c, n_t, ha, i, sub_first,
+                         float(boxsize), m)
 
-    def draw(k, m):
-        kd, kr = jax.random.split(k)
-        dirs = _sphere_dirs(kd, m)
-        sq = jnp.sqrt(jax.random.uniform(kr, (m,)) * qmax)
-        r = a * sq / (1.0 - sq)
-        return dirs * r[:, None]
-
-    def accept(cand):
-        return halo_containing_dm(cand + ha.d_com[i], ha, sub_first,
-                                  boxsize) == i
-
-    return _rejection_sample(key, n, draw, accept)
+    pos, acc = _rejection_fill(key, n, round_fn)
+    return pos[:n], acc[:n]
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
 def sample_halo_gas(key, ha: HaloArrays, i, n: int, boxsize: float,
                     cool_core=None):
     """Beta-model sampling by inverting the tabulated M(<r), with
     foreign-halo and out-of-box rejection (positions.c:90-133).
-    Dynamic halo index / quantized n — see sample_halo_dm."""
-    table = SplineTable(ha.minv_x[i], ha.minv_y[i], ha.minv_m2[i])
-    boxhalf = boxsize / 2.0
+    Dynamic halo index / quantized buffers — see sample_halo_dm."""
+    def round_fn(sub, out, c, n_t, m):
+        return _gas_round(sub, out, c, n_t, ha, i, float(boxsize),
+                          cool_core, m)
 
-    def draw(k, m):
-        kd, kr = jax.random.split(k)
-        dirs = _sphere_dirs(kd, m)
-        mass = jax.random.uniform(kr, (m,)) * ha.mass_gas[i]
-        r = spline_eval(table, mass)
-        return dirs * r[:, None]
-
-    def accept(cand):
-        owner = halo_containing_gas(cand + ha.d_com[i], ha, boxsize,
-                                    cool_core)
-        inside = jnp.all(jnp.abs(cand) <= boxhalf, axis=-1)
-        return (owner == i) & inside
-
-    return _rejection_sample(key, n, draw, accept)
+    pos, acc = _rejection_fill(key, n, round_fn)
+    return pos[:n], acc[:n]
 
 
 def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
@@ -162,9 +214,6 @@ def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
                  if cfg.double_beta_cool_cores else None)
     parts = empty_particles(scene.npart_gas, scene.npart_dm)
 
-    def quant(n):  # pow2-quantized batch: few programs, many halos
-        return 1 << max(n - 1, 1).bit_length()
-
     gas_chunks, gas_halo = [], []
     dm_chunks, dm_halo = [], []
     for i, h in enumerate(scene.halos):
@@ -172,13 +221,13 @@ def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
         kg, kd = jax.random.split(ki)
         if h.npart_gas:
             pos, acc = sample_halo_gas(kg, ha, jnp.int32(i),
-                                       quant(h.npart_gas),
+                                       h.npart_gas,
                                        scene.boxsize, cool_core)
             gas_chunks.append(pos[:h.npart_gas])
             gas_halo.append(jnp.full((h.npart_gas,), i, jnp.int32))
         if h.npart_dm:
             pos, acc = sample_halo_dm(kd, ha, jnp.int32(i),
-                                      quant(h.npart_dm),
+                                      h.npart_dm,
                                       scene.sub_first, scene.boxsize)
             dm_chunks.append(pos[:h.npart_dm])
             dm_halo.append(jnp.full((h.npart_dm,), i, jnp.int32))
