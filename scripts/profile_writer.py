@@ -39,14 +39,14 @@ def main():
     gadget._write_block_streamed = _timed_block
     n_gas = NTOTAL // 2
     key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
+    ks = jax.random.split(key, 5)
     pos = jax.random.uniform(ks[0], (NTOTAL, 3), jnp.float32, 0.0, 1e4)
     vel = jax.random.normal(ks[1], (NTOTAL, 3), jnp.float32)
     ids = jnp.arange(1, NTOTAL + 1, dtype=jnp.uint32)
     u = jax.random.uniform(ks[2], (n_gas,), jnp.float32)
     rho = jax.random.uniform(ks[3], (n_gas,), jnp.float32, 1e-8, 1e-5)
     hsml = rho * 2.0
-    bfld = jax.random.normal(ks[2], (n_gas, 3), jnp.float32) * 1e-6
+    bfld = jax.random.normal(ks[4], (n_gas, 3), jnp.float32) * 1e-6
     rhom = rho * 1.1
     jax.block_until_ready((pos, vel, ids, u, rho, hsml, bfld, rhom))
 

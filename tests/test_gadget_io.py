@@ -116,3 +116,53 @@ def test_device_streamed_bytes_match_numpy(tmp_path, monkeypatch):
     write_snapshot(p_dev, **dev)
     gadget._chunk_taker.cache_clear()
     assert open(p_dev, "rb").read() == open(p_np, "rb").read()
+
+
+# ---------------------------------------------------------------------------
+# Golden-byte parity vs the ACTUAL reference writer: tests/golden/ holds
+# binaries produced by compiling /root/reference/src/io.c UNMODIFIED
+# (io.c uses no GSL symbols; stub headers satisfy the includes — see
+# tests/golden/build.sh) against the deterministic dyadic-rational
+# particle set below (tests/golden/gen_golden.c).  Every value is exactly
+# representable in float32, so the numpy mirror is bit-identical to the
+# C fill loops.
+# ---------------------------------------------------------------------------
+
+def _golden_particles(n_gas, n_dm):
+    n = n_gas + n_dm
+    i = np.arange(n, dtype=np.float64)
+    d = np.arange(3, dtype=np.float64)
+    pos = ((i[:, None] * 8 + d) * 0.5).astype(np.float32)
+    vel = ((i[:, None] * 4 + d) * 0.25 - 3.0).astype(np.float32)
+    ids = (np.arange(n) + 1000).astype(np.uint32)
+    g = np.arange(n_gas, dtype=np.float64)
+    return dict(
+        pos=pos, vel=vel, ids=ids,
+        u=(g * 1.5).astype(np.float32),
+        rho=(g * 0.75 + 0.5).astype(np.float32),
+        hsml=(g * 2.0 + 1.0).astype(np.float32),
+        bfld=((g[:, None] * 4 + d) * 0.125 - 1.0).astype(np.float32),
+        rho_model=(g * 0.375).astype(np.float32),
+    )
+
+
+@pytest.mark.parametrize("golden,n_gas,n_dm,m_gas", [
+    ("golden_mixed.bin", 7, 9, 0.25),
+    ("golden_dmonly.bin", 0, 9, 0.0),
+])
+def test_golden_vs_reference(tmp_path, golden, n_gas, n_dm, m_gas):
+    import os
+    ref = os.path.join(os.path.dirname(__file__), "golden", golden)
+    d = _golden_particles(n_gas, n_dm)
+    header = GadgetHeader(npart=[n_gas, n_dm, 0, 0, 0, 0],
+                          mass=[m_gas, 0.5, 0, 0, 0, 0],
+                          boxsize=6400.0, hubble_param=0.7)
+    p = str(tmp_path / "snap")
+    write_snapshot(p, header=header, **{k: v for k, v in d.items()
+                                        if k != "ids"}, ids=d["ids"])
+    ours = open(p, "rb").read()
+    theirs = open(ref, "rb").read()
+    assert ours == theirs, (
+        f"byte mismatch vs reference writer: len {len(ours)} vs "
+        f"{len(theirs)}; first diff at "
+        f"{next((k for k in range(min(len(ours), len(theirs))) if ours[k] != theirs[k]), -1)}")

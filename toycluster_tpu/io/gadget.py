@@ -136,6 +136,7 @@ def _chunk_taker(rows: int):
 def _fetch_chunk(take, arr, s, rows, n, dtype):
     """Fetch rows [s, s+rows) as numpy; dynamic_slice clamps the start
     when s + rows > n, so trim the overlap off the front of the tail."""
+    assert rows <= n, f"chunk rows {rows} > array rows {n}"
     chunk = np.asarray(take(arr, min(s, n - rows)))
     if s + rows > n:
         chunk = chunk[rows - (n - s):]
