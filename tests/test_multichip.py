@@ -326,3 +326,76 @@ def test_make_ics_mesh_entry(small_scene, tmp_path):
     snap = read_snapshot(cfg.output_file)
     assert snap["header"].npart[0] == n_gas
     assert np.isfinite(snap["pos"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Sharded pipeline stages beyond WVT (parallel/stages.py): standalone
+# density, SPH curl, DM speed sampling — each must match the 1-device
+# result (mesh-size independence).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_density_matches_single_device(small_scene):
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    pos = parts.pos[:parts.n_gas]
+    kw = dict(boxsize=scene.boxsize, mpart=scene.mpart_gas,
+              desnngb=cfg.desnngb, kernel=cfg.sph_kernel, max_cand=64)
+    r1 = stages.sharded_density(make_mesh(1), ha, pos, **kw)
+    r8 = stages.sharded_density(make_mesh(min(8, jax.device_count())),
+                                ha, pos, **kw)
+    for a, b in zip(r1, r8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4)
+    # contract sanity: the solve hit the neighbour window
+    wk = np.asarray(r8[3])
+    assert np.median(np.abs(wk - cfg.desnngb)) < 1.0
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_curl_matches_single_device(small_scene):
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    n_gas = parts.n_gas
+    pos = parts.pos[:n_gas]
+    mesh8 = make_mesh(min(8, jax.device_count()))
+    rho, hsml, vf, _ = stages.sharded_density(
+        mesh8, ha, pos, boxsize=scene.boxsize, mpart=scene.mpart_gas,
+        desnngb=cfg.desnngb, kernel=cfg.sph_kernel, max_cand=64)
+    # synthetic but smooth vector potential
+    apot = jnp.stack([jnp.sin(pos[:, 0] / scene.boxsize * 6.0),
+                      jnp.cos(pos[:, 1] / scene.boxsize * 6.0),
+                      pos[:, 2] / scene.boxsize], axis=1)
+    kw = dict(boxsize=scene.boxsize, mpart=scene.mpart_gas,
+              kernel=cfg.sph_kernel, max_cand=64)
+    b1, m1 = stages.sharded_curl(make_mesh(1), pos, hsml, rho, vf,
+                                 apot, **kw)
+    b8, m8 = stages.sharded_curl(mesh8, pos, hsml, rho, vf, apot, **kw)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b8),
+                               rtol=3e-4, atol=1e-8)
+    np.testing.assert_allclose(float(m1), float(m8), rtol=3e-4)
+    assert float(m8) > 0
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_dm_speeds_match_single_device(small_scene):
+    from toycluster_tpu.models import velocities as vel_mod
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    n_gas = parts.n_gas
+    d = parts.pos[n_gas:] - (ha.d_com[0] + scene.boxhalf)
+    r = jnp.linalg.norm(d, axis=-1)
+    vt = vel_mod.build_velocity_tables(scene, 0)
+    key = jax.random.PRNGKey(11)
+    v1 = stages.sharded_dm_speeds(make_mesh(1), vt, r, key=key)
+    v8 = stages.sharded_dm_speeds(make_mesh(min(8, jax.device_count())),
+                                  vt, r, key=key)
+    # counter-based per-particle keys: BIT-identical across mesh sizes
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
+    psi = np.asarray(vel_mod.potential_device(vt, jnp.maximum(r, 0.1)))
+    v = np.asarray(v8)
+    assert (v <= np.sqrt(2 * psi) * (1 + 1e-5)).all()
+    assert (v > 0).mean() > 0.999

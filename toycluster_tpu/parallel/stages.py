@@ -1,0 +1,247 @@
+"""Sharded pipeline stages beyond the WVT loop: standalone SPH density,
+SPH curl (B from the vector potential), and DM velocity sampling under
+`shard_map` over a 1-D device mesh.
+
+These reuse the wvt_shard machinery (Hilbert sort + equal-count blocks +
+bbox candidate sweep + gather halo) for the two pair operators, and
+counter-based per-particle RNG for the sampler — so the result of every
+stage is INDEPENDENT of the mesh size (the 1-vs-8-device equivalence
+tests in tests/test_multichip.py assert exactness).  Collectives:
+`all_gather` for source fields (the analogue of the reference's shared
+`P[]`/`SphP[]`, sph.c:13-300), `pmax` for the B-field normalisation
+maximum (magnetic_field.c:77-87 — the reference's unsynchronised fmax
+race, done right).
+
+Reference scope: sph.c:13-75 (standalone density), sph.c:216-300 (curl),
+velocities.c:38-159 (DM velocities).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from .. import constants as const
+from ..ops import pair_ops
+from ..ops.blocks import BLOCK, BlockIndex
+from ..ops.keys import hilbert_order
+from ..models.sph import global_density_model, hard_h_cap
+from .wvt_shard import _local_candidates, pad_for_mesh, shard_array
+
+_CAP_FACTOR = 1.35
+
+
+def _sort_shard(mesh, pos, boxsize, extras=()):
+    """Hilbert-sort, pad-aware shard placement; returns sorted+sharded
+    (pos, order, *extras-sorted)."""
+    order = hilbert_order(pos, boxsize)
+    out = [shard_array(mesh, pos[order]), order]
+    for x in extras:
+        out.append(shard_array(mesh, x[order]))
+    return out
+
+
+def _unsort(x, order):
+    n = order.shape[0]
+    inv = jnp.zeros((n,), order.dtype).at[order].set(
+        jnp.arange(n, dtype=order.dtype))
+    return x[inv]
+
+
+def sharded_density(mesh: Mesh, ha, pos_gas, hsml_prev=None, *, boxsize,
+                    mpart, desnngb, kernel="wc6", max_cand=256,
+                    cool_core=None):
+    """Standalone SPH density + adaptive hsml over the mesh
+    (sph.c:13-75 sharded).  Returns (rho, hsml, var_hsml_fac, wk_ngb)
+    in the ORIGINAL particle order, sliced to len(pos_gas)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    pos, n_real = pad_for_mesh(pos_gas, n_dev)
+    n = pos.shape[0]
+    if hsml_prev is None:
+        hsml_prev = jnp.zeros((len(pos_gas),), jnp.float32)
+    hprev = jnp.concatenate(
+        [hsml_prev, jnp.zeros((n - len(pos_gas),), jnp.float32)]) \
+        if n > len(pos_gas) else hsml_prev
+
+    def body(pos_l, hprev_l, valid_l):
+        nbl = pos_l.shape[0] // BLOCK
+        ax = jax.lax.axis_index(axis)
+        rho_model_l = global_density_model(pos_l, ha, boxsize, cool_core)
+        h0_model_l = (desnngb * mpart / rho_model_l
+                      / const.FOURPITHIRD) ** (1.0 / 3.0)
+        h0_l = jnp.where(hprev_l > 0, hprev_l, h0_model_l)
+        cap_l = jnp.minimum(jnp.maximum(h0_l, h0_model_l) * _CAP_FACTOR,
+                            hard_h_cap(boxsize, n_real))
+        blocks_l = pos_l.reshape(nbl, BLOCK, 3)
+        lo_l = blocks_l.min(axis=1)
+        hi_l = blocks_l.max(axis=1)
+        rad_l = cap_l.reshape(nbl, BLOCK).max(axis=1)
+        lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
+        hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
+        rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
+        cand, overflow = _local_candidates(
+            lo_l, hi_l, rad_l, lo_all, hi_all, rad_all, boxsize, max_cand)
+        pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
+        valid_all = jax.lax.all_gather(valid_l, axis, tiled=True)
+        dummy3 = jnp.zeros((1, 3), pos_l.dtype)
+        bi = BlockIndex(order=jnp.arange(pos_all.shape[0],
+                                         dtype=jnp.int32),
+                        pos=pos_all, valid=valid_all, bb_lo=lo_all,
+                        bb_hi=hi_all, sb_lo=dummy3, sb_hi=dummy3)
+        rec_ids = (ax.astype(jnp.int32) * nbl
+                   + jnp.arange(nbl, dtype=jnp.int32))
+        sel = pair_ops.BlockSelection(ids=rec_ids, cand=cand)
+        res = pair_ops.solve_density(
+            bi, sel, h0_l.reshape(nbl, BLOCK), cap_l.reshape(nbl, BLOCK),
+            mpart, boxsize, kernel=kernel, desnngb=desnngb)
+        return (res.rho, res.hsml, res.var_hsml_fac, res.wk_ngb,
+                jax.lax.pmax(overflow, axis))
+
+    sharded = shard_map(
+        body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        check_vma=False)
+
+    pos_s, order, h_s = _sort_shard(mesh, pos, boxsize, (hprev,))
+    valid_s = order < n_real
+    rho, hsml, vf, wk, overflow = jax.jit(sharded)(pos_s, h_s, valid_s)
+    assert int(overflow) <= 0, "sharded density candidate overflow"
+    return (_unsort(rho, order)[:len(pos_gas)],
+            _unsort(hsml, order)[:len(pos_gas)],
+            _unsort(vf, order)[:len(pos_gas)],
+            _unsort(wk, order)[:len(pos_gas)])
+
+
+def sharded_curl(mesh: Mesh, pos_gas, hsml, rho, var_fac, apot, *,
+                 boxsize, mpart, kernel="wc6", max_cand=256):
+    """SPH curl of the vector potential over the mesh (sph.c:216-300
+    sharded).  Returns (bfld (N,3) original order, bmax scalar) — bmax
+    is the pmax'd global max |B| the normalisation needs
+    (magnetic_field.c:77-87, without the reference's fmax race)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    pos, n_real = pad_for_mesh(pos_gas, n_dev)
+    n = pos.shape[0]
+    npad = n - len(pos_gas)
+
+    def pad1(x, fill=0.0):
+        if not npad:
+            return x
+        filler = jnp.full((npad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, filler])
+
+    h_p = pad1(hsml)
+    rho_p = pad1(rho, 1.0)   # padded lanes never read (masked), avoid /0
+    vf_p = pad1(var_fac)
+    apot_p = pad1(apot)
+
+    def body(pos_l, h_l, rho_l, vf_l, apot_l, valid_l):
+        nbl = pos_l.shape[0] // BLOCK
+        ax = jax.lax.axis_index(axis)
+        blocks_l = pos_l.reshape(nbl, BLOCK, 3)
+        lo_l = blocks_l.min(axis=1)
+        hi_l = blocks_l.max(axis=1)
+        rad_l = h_l.reshape(nbl, BLOCK).max(axis=1)
+        lo_all = jax.lax.all_gather(lo_l, axis, tiled=True)
+        hi_all = jax.lax.all_gather(hi_l, axis, tiled=True)
+        rad_all = jax.lax.all_gather(rad_l, axis, tiled=True)
+        # gather range is the receiver's own h (one-sided, tree.c:25)
+        cand, overflow = _local_candidates(
+            lo_l, hi_l, rad_l, lo_all, hi_all,
+            jnp.zeros_like(rad_all), boxsize, max_cand)
+        pos_all = jax.lax.all_gather(pos_l, axis, tiled=True)
+        valid_all = jax.lax.all_gather(valid_l, axis, tiled=True)
+        apot_all = jax.lax.all_gather(apot_l, axis, tiled=True)
+        # sph_curl indexes receiver rows by GLOBAL block id, so the
+        # receiver-side fields ride the gather too (they are (N,) — a
+        # fraction of the apot/pos volume)
+        h_all = jax.lax.all_gather(h_l, axis, tiled=True)
+        rho_all = jax.lax.all_gather(rho_l, axis, tiled=True)
+        vf_all = jax.lax.all_gather(vf_l, axis, tiled=True)
+        dummy3 = jnp.zeros((1, 3), pos_l.dtype)
+        bi = BlockIndex(order=jnp.arange(pos_all.shape[0],
+                                         dtype=jnp.int32),
+                        pos=pos_all, valid=valid_all, bb_lo=lo_all,
+                        bb_hi=hi_all, sb_lo=dummy3, sb_hi=dummy3)
+        rec_ids = (ax.astype(jnp.int32) * nbl
+                   + jnp.arange(nbl, dtype=jnp.int32))
+        sel = pair_ops.BlockSelection(ids=rec_ids, cand=cand)
+        b = pair_ops.sph_curl(bi, sel, h_all, rho_all, vf_all, apot_all,
+                              mpart, boxsize, kernel=kernel)
+        b = b.reshape(-1, 3)
+        b2 = jnp.where(valid_l, (b * b).sum(axis=-1), 0.0)
+        bmax2 = jax.lax.pmax(b2.max(), axis)
+        return b, bmax2, jax.lax.pmax(overflow, axis)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(axis), P(), P()), check_vma=False)
+
+    pos_s, order, h_s, rho_s, vf_s, apot_s = _sort_shard(
+        mesh, pos, boxsize, (h_p, rho_p, vf_p, apot_p))
+    valid_s = order < n_real
+    b, bmax2, overflow = jax.jit(sharded)(pos_s, h_s, rho_s, vf_s,
+                                          apot_s, valid_s)
+    assert int(overflow) <= 0, "sharded curl candidate overflow"
+    return _unsort(b, order)[:len(pos_gas)], jnp.sqrt(bmax2)
+
+
+def sharded_dm_speeds(mesh: Mesh, vt, r_dm, *, key):
+    """DM speed sampling over the mesh for ONE halo's velocity tables
+    (velocities.c:62-104 target distribution via the inverse-CDF
+    sampler).  Per-particle counter-based keys (split by GLOBAL particle
+    index) make the draw independent of the mesh size — bit-identical
+    on 1 or 8 devices."""
+    from ..models.velocities import (_VTAB_V, _invert_cdf_rows,
+                                     _speed_cdf_table, potential_device)
+    from ..models.eddington import RMIN
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    n0 = r_dm.shape[0]
+    q = 8 * n_dev
+    n = -(-n0 // q) * q
+    r_pad = jnp.concatenate(
+        [r_dm, jnp.full((n - n0,), jnp.float32(RMIN))]) if n > n0 else r_dm
+
+    r_lo = jnp.float32(RMIN)
+    r_hi = jnp.maximum(jnp.max(r_pad), r_lo * 2.0)
+    rtab, cdf, vmax_tab, ok_row = _speed_cdf_table(vt, r_lo, r_hi)
+    n_rows = rtab.shape[0]
+
+    def body(r_l, gid_l):
+        nl = r_l.shape[0]
+        r = jnp.maximum(r_lo, r_l)
+        x = (jnp.log(r / r_lo) / jnp.log(r_hi / r_lo)) * (n_rows - 1)
+        x = jnp.clip(x, 0.0, n_rows - 1 - 1e-4)
+        row = x.astype(jnp.int32)
+        frac = x - row
+        # per-particle counter-based uniform: fold the GLOBAL index in
+        uu = jax.vmap(
+            lambda g: jax.random.uniform(jax.random.fold_in(key, g)))(
+                gid_l)
+        u0 = _invert_cdf_rows(cdf, row, uu)
+        u1 = _invert_cdf_rows(cdf, jnp.minimum(row + 1, n_rows - 1), uu)
+        u_v = (1.0 - frac) * u0 + frac * u1
+        vmax = jnp.sqrt(2.0 * potential_device(vt, r))
+        good = ok_row[row] | ok_row[jnp.minimum(row + 1, n_rows - 1)]
+        return jnp.where(good, u_v * vmax, 0.0)
+
+    sharded = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                        out_specs=P(axis), check_vma=False)
+    gids = jnp.arange(n, dtype=jnp.int32)
+    v = jax.jit(sharded)(shard_array(mesh, r_pad),
+                         shard_array(mesh, gids))
+    return v[:n0]
