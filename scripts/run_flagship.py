@@ -85,13 +85,63 @@ def main():
     # BFLD block, not just a stage that ran (magnetic_field.c:71-131)
     bstats = None
     if cfg.bfld_norm and parts.bfld.shape[0]:
+        from toycluster_tpu.models.bfield import BMAX, BMAX_SUB
+        n_gas = parts.n_gas
         bmag = np.asarray(jnp.linalg.norm(parts.bfld, axis=-1))
         bstats = {
             "b_max_uG": round(float(bmag.max()) * 1e6, 4),
             "b_median_uG": round(float(np.median(bmag)) * 1e6, 6),
             "b_nonzero_frac": round(float((bmag > 0).mean()), 6),
             "b_finite_frac": round(float(np.isfinite(bmag).mean()), 6),
+            # cap census: explains a b_max that sits exactly at a cap
+            # (magnetic_field.c:113-114 — BMAX_SUB=2uG in subhaloes)
+            "cap_frac_18uG": round(
+                float((bmag >= BMAX * 0.999).mean()), 8),
+            "cap_frac_sub_2uG": round(
+                float((bmag >= BMAX_SUB * 0.999).mean()), 8),
         }
+        # at-scale B validation (VERDICT r3 #3): per host halo, median
+        # |B| per log-r bin against the Bonafede+2010 scaling
+        # B proportional to (rho_model/rho0)^eta (magnetic_field.c:33-69).
+        # Pre-cap bins must show a near-constant |B| / (rho/rho0)^eta.
+        eta = cfg.bfld_eta
+        pos_g = np.asarray(parts.pos[:n_gas])
+        halo_g = np.asarray(parts.halo[:n_gas])
+        rhom_g = np.asarray(parts.rho_model[:n_gas])
+        profiles = []
+        for i in range(min(scene.sub_first, 3)):
+            h_i = scene.halos[i]
+            if h_i.mass_gas <= 0 or h_i.rho0 <= 0:
+                continue
+            c = np.asarray(h_i.d_com, np.float64) + scene.boxhalf
+            sel = halo_g == i
+            if sel.sum() < 1000:
+                continue
+            r = np.linalg.norm(pos_g[sel] - c, axis=-1)
+            b_i = bmag[:n_gas][sel]
+            x_i = (rhom_g[sel] / h_i.rho0) ** eta
+            edges = np.geomspace(max(h_i.r200 / 100, 1.0), h_i.r200, 13)
+            med_b, med_x, cnt = [], [], []
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                m = (r >= lo) & (r < hi)
+                cnt.append(int(m.sum()))
+                med_b.append(float(np.median(b_i[m])) if m.any() else None)
+                med_x.append(float(np.median(x_i[m])) if m.any() else None)
+            ratios = [b / x for b, x, n in zip(med_b, med_x, cnt)
+                      if b and x and n > 200 and b < BMAX * 0.999]
+            scatter = (round(float(np.std(ratios) / np.mean(ratios)), 4)
+                       if len(ratios) >= 3 else None)
+            profiles.append({
+                "halo": i, "r200": round(h_i.r200, 1),
+                "r_edges_kpc": [round(e, 2) for e in edges],
+                "median_B_G": med_b, "median_rho_scaling": med_x,
+                "bin_counts": cnt,
+                # fractional scatter of |B|/(rho/rho0)^eta across
+                # populated pre-cap bins: ~0 means the field tracks the
+                # Bonafede scaling at scale
+                "scaling_ratio_scatter": scatter,
+            })
+        bstats["radial_profiles"] = profiles
     out = {
         "config": IDX,
         "ntotal": cfg.ntotal,
@@ -119,7 +169,7 @@ def main():
         "wvt_trajectory": wvt_log,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), f"FLAGSHIP_r05_config{IDX}.json")
+        os.path.abspath(__file__))), f"FLAGSHIP_r06_config{IDX}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
