@@ -67,9 +67,14 @@ def test_bfield_normalisation(result):
 
 def test_density_vs_model_written(result):
     scene, parts, snap = result
-    # RHOM block lets consumers check convergence offline (io.c:218-224)
+    # RHOM block lets consumers check convergence offline (io.c:218-224).
+    # An UNRELAXED sample at this scale sits at ~0.25 median relative
+    # error (the fixture's wvt it=0 err_mean), so the bound below fails
+    # for a broken relaxation, not just a broken writer; the tight
+    # convergence contract at m4/50 lives in test_wvt_converges_to_model.
     err = np.abs(snap["rho"] - snap["rho_model"]) / snap["rho_model"]
-    assert np.median(err) < 0.25
+    assert np.median(err) < 0.18
+    assert np.percentile(err, 90) < 0.8
 
 
 def test_internal_energy_tracks_analytic():
