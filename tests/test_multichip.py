@@ -301,6 +301,7 @@ def test_sharded_checkpoint_resume(small_scene, tmp_path):
 
 @pytest.mark.skipif(jax.device_count() < 2,
                     reason="needs multiple (virtual) devices")
+@pytest.mark.slow
 def test_make_ics_mesh_entry(small_scene, tmp_path):
     """make_ics(mesh=...) runs the WVT stage sharded over the mesh and
     the remaining stages single-chip — multi-chip as a PIPELINE

@@ -193,6 +193,7 @@ def test_superblock_curl_matches_brute_force(cloud, solved, monkeypatch):
                                atol=1e-4 * scale)
 
 
+@pytest.mark.slow
 def test_corner_lanes_grow_past_box_third():
     """Tiny-N periodic corner lanes need h beyond boxsize/3 to collect
     DESNNGB neighbours across the wrap — the reference's grow loop is

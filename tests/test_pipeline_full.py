@@ -21,6 +21,7 @@ def result(tmp_path_factory):
     return scene, parts, read_snapshot(out)
 
 
+@pytest.mark.slow
 def test_snapshot_blocks(result):
     scene, parts, snap = result
     hdr = snap["header"]
@@ -36,6 +37,7 @@ def test_snapshot_blocks(result):
     assert set(snap["ids"].tolist()) == set(range(1, scene.ntotal + 1))
 
 
+@pytest.mark.slow
 def test_gas_quantities_physical(result):
     scene, parts, snap = result
     assert (snap["rho"] > 0).all()
@@ -48,6 +50,7 @@ def test_gas_quantities_physical(result):
     assert (T > 1e5).all() and (T < 5e9).all()
 
 
+@pytest.mark.slow
 def test_bfield_normalisation(result):
     scene, parts, snap = result
     b = np.linalg.norm(snap["bfld"], axis=1)
@@ -65,6 +68,7 @@ def test_bfield_normalisation(result):
     assert hi > 3 * lo
 
 
+@pytest.mark.slow
 def test_density_vs_model_written(result):
     scene, parts, snap = result
     # RHOM block lets consumers check convergence offline (io.c:218-224).
@@ -108,6 +112,7 @@ def test_internal_energy_tracks_analytic():
     assert u_tab[-1] < u_tab[len(r) // 2] < 1.5 * u_tab[0]
 
 
+@pytest.mark.slow
 def test_wvt_converges_to_model(result_m4):
     """Tight convergence contract at test scale: with the M4/50 kernel the
     relaxed SPH density must track the analytic model to ~6% median
@@ -130,6 +135,7 @@ def result_m4(tmp_path_factory):
     return scene, parts, read_snapshot(out)
 
 
+@pytest.mark.slow
 def test_temperature_profile_physical(result_m4):
     """Central temperature within the expected keV band for a 1e15 Msun
     cluster and declining beyond the core (Donnert+16 fig. 1 shape)."""
@@ -147,6 +153,7 @@ def test_temperature_profile_physical(result_m4):
     assert np.median(outer) < np.median(core)
 
 
+@pytest.mark.slow
 def test_substructure_merger_end_to_end(tmp_path_factory):
     """Config-4 shape at test scale (unequal-mass merger + Giocoli
     substructure) through the FULL pipeline: subhalo gas bulk velocities

@@ -39,6 +39,7 @@ def relaxed():
     return scene, ha, parts, errs
 
 
+@pytest.mark.slow
 def test_error_decreases(relaxed):
     scene, ha, parts, errs = relaxed
     assert len(errs) >= 5
@@ -49,6 +50,7 @@ def test_error_decreases(relaxed):
     assert errs[-1] <= 1.05 * min(errs)
 
 
+@pytest.mark.slow
 def test_neighbour_contract_after_relaxation(relaxed):
     scene, ha, parts, errs = relaxed
     parts2 = sph_mod.find_sph_quantities(scene, ha, parts)
@@ -63,6 +65,7 @@ def test_neighbour_contract_after_relaxation(relaxed):
     assert abs(np.median(wk_est) / scene.config.desnngb - 1) < 0.1
 
 
+@pytest.mark.slow
 def test_density_tracks_model(relaxed):
     scene, ha, parts, errs = relaxed
     pos = parts.pos[: parts.n_gas]
@@ -73,6 +76,7 @@ def test_density_tracks_model(relaxed):
     assert np.median(err) < 0.15
 
 
+@pytest.mark.slow
 def test_rebuild_every_equivalence(monkeypatch):
     """Structure reuse (REBUILD_EVERY=8) with the enforced drift budget
     must track the rebuild-every-iteration reference behavior
@@ -232,6 +236,7 @@ def test_find_sph_quantities_inkernel_bits_wiring(monkeypatch):
                                   np.asarray(new.hsml))
 
 
+@pytest.mark.slow
 def test_offload_path_equivalence(monkeypatch):
     """The large-N HBM offload (pid/halo parked on host, DM pos split,
     zero gas fields dropped) must reproduce the default path exactly:
