@@ -228,6 +228,7 @@ def test_regularise_sharded_converges(small_scene):
 
 @pytest.mark.skipif(jax.device_count() < 2,
                     reason="needs multiple (virtual) devices")
+@pytest.mark.slow
 def test_sharded_structure_reuse_equivalence(small_scene):
     """Sharded structure reuse (rebuild_every=4 under the drift budget)
     must track the rebuild-every-iteration loop to float32 pair-sum
@@ -263,6 +264,7 @@ def test_sharded_structure_reuse_equivalence(small_scene):
 
 @pytest.mark.skipif(jax.device_count() < 2,
                     reason="needs multiple (virtual) devices")
+@pytest.mark.slow
 def test_sharded_checkpoint_resume(small_scene, tmp_path):
     """A sharded run interrupted mid-relaxation and resumed from its NPZ
     checkpoint must land where the uninterrupted run lands (the

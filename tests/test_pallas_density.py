@@ -602,6 +602,7 @@ def test_compacted_lists_are_exact(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_inkernel_bits_matches_precomputed(setup):
     """TOYCLUSTER_IK_BITS path: stage-A superblock-HULL bits compact
     the lists (conservative superset of the member-level test) and the

@@ -127,6 +127,7 @@ def test_rebuild_every_equivalence(monkeypatch):
     np.testing.assert_allclose(rho8, rho1, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_wvt_loop_inkernel_bits_wiring(monkeypatch):
     """End-to-end wiring of the TOYCLUSTER_IK_BITS path through the
     production pallas branch of the WVT iteration (interpret mode on
