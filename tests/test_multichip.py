@@ -402,3 +402,27 @@ def test_sharded_dm_speeds_match_single_device(small_scene):
     v = np.asarray(v8)
     assert (v <= np.sqrt(2 * psi) * (1 + 1e-5)).all()
     assert (v > 0).mean() > 0.999
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_temperature_matches_single_device(small_scene):
+    from toycluster_tpu.models import temperature as temp_mod
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    n_gas = parts.n_gas
+    tables = temp_mod.build_energy_tables_stacked(scene)
+    d_com = jnp.asarray(np.stack([h.d_com for h in scene.halos]),
+                        jnp.float32)
+    pos, halo = parts.pos[:n_gas], parts.halo[:n_gas]
+    u1 = stages.sharded_temperature(make_mesh(1), tables, d_com, pos,
+                                    halo, boxhalf=scene.boxhalf)
+    u8 = stages.sharded_temperature(
+        make_mesh(min(8, jax.device_count())), tables, d_com, pos, halo,
+        boxhalf=scene.boxhalf)
+    # pure elementwise gather-eval: BIT-identical across mesh sizes
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u8))
+    # and identical to the single-chip pipeline stage itself
+    u_pipe = temp_mod.make_temperatures(scene, parts).u
+    np.testing.assert_array_equal(np.asarray(u8), np.asarray(u_pipe))
+    assert (np.asarray(u8) > 0).all()

@@ -112,9 +112,8 @@ def _compact_fill(out, c, n_t, cand, ok):
     return out, jnp.minimum(c + ok.sum(), n_t)
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
-def _dm_round(sub, out, c, n_t, ha, i, sub_first: int, boxsize: float,
-              m: int):
+def _dm_round_impl(sub, out, c, n_t, ha, i, sub_first: int,
+                   boxsize: float, m: int):
     """One DM rejection round: Hernquist inverse-CDF draw of m iid lanes
     (positions.c:48-65) + foreign-halo acceptance + compaction."""
     kd, kr = jax.random.split(sub)
@@ -127,9 +126,11 @@ def _dm_round(sub, out, c, n_t, ha, i, sub_first: int, boxsize: float,
     return _compact_fill(out, c, n_t, cand, ok)
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
-def _gas_round(sub, out, c, n_t, ha, i, boxsize: float, cool_core,
-               m: int):
+_dm_round = partial(jax.jit, static_argnums=(6, 7, 8))(_dm_round_impl)
+
+
+def _gas_round_impl(sub, out, c, n_t, ha, i, boxsize: float, cool_core,
+                    m: int):
     """One gas rejection round: tabulated M(<r) inversion draw
     (positions.c:105-106) + foreign-halo/out-of-box acceptance +
     compaction."""
@@ -144,6 +145,100 @@ def _gas_round(sub, out, c, n_t, ha, i, boxsize: float, cool_core,
     inside = jnp.all(jnp.abs(cand) <= boxsize / 2.0, axis=-1)
     ok = (owner == i) & inside
     return _compact_fill(out, c, n_t, cand, ok)
+
+
+_gas_round = partial(jax.jit, static_argnums=(6, 7, 8))(_gas_round_impl)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _dm_rounds_batched(subs, outs, cs, n_ts, idxs, ha, sub_first: int,
+                       boxsize: float, m: int):
+    """One DM round for a BATCH of halos in a single program (vmap over
+    the halo axis) — substructure scenes carry ~70 subhalos and the
+    sequential per-halo path costs ~2 tunnel round-trips each."""
+    def one(sub, out, c, n_t, i):
+        return _dm_round_impl(sub, out, c, n_t, ha, i, sub_first,
+                              boxsize, m)
+
+    return jax.vmap(one)(subs, outs, cs, n_ts, idxs)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _gas_rounds_batched(subs, outs, cs, n_ts, idxs, ha, boxsize: float,
+                        cool_core, m: int):
+    """One gas round for a BATCH of halos in a single program."""
+    def one(sub, out, c, n_t, i):
+        return _gas_round_impl(sub, out, c, n_t, ha, i, boxsize,
+                               cool_core, m)
+
+    return jax.vmap(one)(subs, outs, cs, n_ts, idxs)
+
+
+def _size_classes(ns, max_ratio=8):
+    """Group halo target counts into classes with bounded max/min ratio
+    so one padded batch shape per class wastes at most ~max_ratio x the
+    smallest member's lanes.  Returns a list of index-arrays into ns."""
+    order = np.argsort(ns)
+    classes, cur = [], [order[0]]
+    for j in order[1:]:
+        if ns[j] <= max_ratio * ns[cur[0]]:
+            cur.append(j)
+        else:
+            classes.append(np.asarray(cur))
+            cur = [j]
+    classes.append(np.asarray(cur))
+    return classes
+
+
+def _batched_fill(key, ha, idxs, ns, kind, boxsize, sub_first=0,
+                  cool_core=None, p_est=0.92):
+    """Sample MANY small halos together: one vmapped program execution
+    and ONE host sync per round for the whole batch, instead of the
+    sequential path's per-halo program + per-round sync (at 70 subhalos
+    that is ~280 blocking tunnel round-trips).  Distribution-identical
+    to the sequential engine: lanes stay iid per halo, acceptance is
+    per-lane, compaction keeps draw order (positions.c:25-133 contract).
+
+    idxs/ns: host int arrays of halo indices and fill targets.
+    Returns {halo_index: (pos (n, 3) device, acc (n,) bool)}."""
+    idxs = np.asarray(idxs)
+    ns = np.asarray(ns)
+    results = {}
+    for cls in _size_classes(ns):
+        cidx, cns = idxs[cls], ns[cls]
+        H = len(cidx)
+        nq = _quant_batch(int(cns.max()))
+        outs = jnp.zeros((H, nq, 3), jnp.float32)
+        cs = jnp.zeros((H,), jnp.int32)
+        n_ts = jnp.asarray(cns, jnp.int32)
+        didx = jnp.asarray(cidx, jnp.int32)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(didx)
+        filled = np.zeros(H, np.int64)
+        p = np.full(H, p_est)
+        for r in range(_MAX_REJECT_ROUNDS):
+            need = (cns - filled) / np.maximum(p, 0.01) * 1.08
+            m = _quant_batch(float(need.max()))
+            subs = jax.vmap(lambda k: jax.random.fold_in(k, r))(keys)
+            if kind == "dm":
+                outs, cs = _dm_rounds_batched(
+                    subs, outs, cs, n_ts, didx, ha, int(sub_first),
+                    float(boxsize), m)
+            else:
+                outs, cs = _gas_rounds_batched(
+                    subs, outs, cs, n_ts, didx, ha, float(boxsize),
+                    cool_core, m)
+            new_filled = np.asarray(cs).astype(np.int64)  # ONE sync
+            p = np.maximum((new_filled - filled) / m, 0.01)
+            filled = new_filled
+            if (filled >= cns).all():
+                break
+        for j in range(H):
+            acc = (np.arange(cns[j]) <
+                   filled[j]) if filled[j] < cns[j] else np.ones(
+                       cns[j], bool)
+            results[int(cidx[j])] = (outs[j, : cns[j]],
+                                     jnp.asarray(acc))
+    return results
 
 
 def _rejection_fill(key, n, round_fn, p_est=0.92):
@@ -214,21 +309,46 @@ def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
                  if cfg.double_beta_cool_cores else None)
     parts = empty_particles(scene.npart_gas, scene.npart_dm)
 
+    # subhalos go through the batched engine (one program + one sync per
+    # round for the whole population); host halos keep the sequential
+    # path (few of them, and their big lane counts dominate compute)
+    sub_idx = [i for i in range(scene.sub_first, scene.nhalos)]
+    batch_gas, batch_dm = {}, {}
+    if len(sub_idx) >= 4:
+        kb_g = jax.random.fold_in(key, scene.nhalos + 1)
+        kb_d = jax.random.fold_in(key, scene.nhalos + 2)
+        gi = [i for i in sub_idx if scene.halos[i].npart_gas]
+        if gi:
+            batch_gas = _batched_fill(
+                kb_g, ha, gi, [scene.halos[i].npart_gas for i in gi],
+                "gas", scene.boxsize, cool_core=cool_core)
+        di = [i for i in sub_idx if scene.halos[i].npart_dm]
+        if di:
+            batch_dm = _batched_fill(
+                kb_d, ha, di, [scene.halos[i].npart_dm for i in di],
+                "dm", scene.boxsize, sub_first=scene.sub_first)
+
     gas_chunks, gas_halo = [], []
     dm_chunks, dm_halo = [], []
     for i, h in enumerate(scene.halos):
         ki = jax.random.fold_in(key, i)
         kg, kd = jax.random.split(ki)
         if h.npart_gas:
-            pos, acc = sample_halo_gas(kg, ha, jnp.int32(i),
-                                       h.npart_gas,
-                                       scene.boxsize, cool_core)
+            if i in batch_gas:
+                pos = batch_gas[i][0]
+            else:
+                pos, acc = sample_halo_gas(kg, ha, jnp.int32(i),
+                                           h.npart_gas,
+                                           scene.boxsize, cool_core)
             gas_chunks.append(pos[:h.npart_gas])
             gas_halo.append(jnp.full((h.npart_gas,), i, jnp.int32))
         if h.npart_dm:
-            pos, acc = sample_halo_dm(kd, ha, jnp.int32(i),
-                                      h.npart_dm,
-                                      scene.sub_first, scene.boxsize)
+            if i in batch_dm:
+                pos = batch_dm[i][0]
+            else:
+                pos, acc = sample_halo_dm(kd, ha, jnp.int32(i),
+                                          h.npart_dm,
+                                          scene.sub_first, scene.boxsize)
             dm_chunks.append(pos[:h.npart_dm])
             dm_halo.append(jnp.full((h.npart_dm,), i, jnp.int32))
 

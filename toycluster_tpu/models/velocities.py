@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as const
-from ..ops.interp import SplineTable, spline_eval
+from ..ops.interp import SplineTable, batched_spline_eval, \
+    flat_gather, spline_eval
 from ..particles import HaloArrays, Particles
 from ..scene import Scene
 from .eddington import build_distribution_function, RMIN
@@ -184,34 +185,10 @@ def stack_velocity_tables(vts):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *vts)
 
 
-def _flat_gather(tab, row, col):
-    """tab[(row, col)] for 2-D tab with 1-D index vectors (flat gather —
-    keeps XLA from materializing (n, K) intermediates)."""
-    return tab.reshape(-1)[row * tab.shape[1] + col]
-
-
-def _batched_spline_eval(table: SplineTable, hid, xq):
-    """spline_eval against per-halo knot rows: table fields are (H, K),
-    hid/xq are (n,).  Manual bisection with flat gathers replaces
-    searchsorted (which cannot index a different row per query)."""
-    x, y, m2 = table
-    k = x.shape[1]
-    lo = jnp.zeros_like(hid)
-    hi = jnp.full_like(hid, k - 1)
-    for _ in range(10):  # 2^10 >= NTABLE
-        mid = (lo + hi) // 2
-        go_hi = xq >= _flat_gather(x, hid, mid)
-        lo = jnp.where(go_hi, mid, lo)
-        hi = jnp.where(go_hi, hi, mid)
-    i = jnp.clip(lo, 0, k - 2)
-    x0 = _flat_gather(x, hid, i)
-    x1 = _flat_gather(x, hid, i + 1)
-    h = x1 - x0
-    A = jnp.clip((x1 - xq) / h, 0.0, 1.0)  # clamp to knot span
-    B = 1.0 - A
-    return (A * _flat_gather(y, hid, i) + B * _flat_gather(y, hid, i + 1)
-            + ((A ** 3 - A) * _flat_gather(m2, hid, i)
-               + (B ** 3 - B) * _flat_gather(m2, hid, i + 1)) * h * h / 6.0)
+# flat_gather / batched_spline_eval moved to ops/interp.py (shared with
+# the temperature stage); keep the private aliases for local call sites
+_flat_gather = flat_gather
+_batched_spline_eval = batched_spline_eval
 
 
 def _batched_potential(vt: VelocityTables, hid, r):

@@ -245,3 +245,33 @@ def sharded_dm_speeds(mesh: Mesh, vt, r_dm, *, key):
     v = jax.jit(sharded)(shard_array(mesh, r_pad),
                          shard_array(mesh, gids))
     return v[:n0]
+
+
+def sharded_temperature(mesh: Mesh, tables, d_com, pos_gas, gas_halo, *,
+                        boxhalf):
+    """Hydrostatic internal energy over the mesh (temperature.c:8-44):
+    pure elementwise gather-eval against the stacked per-halo u(r)
+    tables (models/temperature.py), sharded over particles with the
+    tables replicated — no collectives needed, bit-identical on any
+    mesh size."""
+    from ..models.temperature import _temperature_eval
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    n0 = pos_gas.shape[0]
+    q = 8 * n_dev
+    n = -(-n0 // q) * q
+    if n > n0:
+        pos_gas = jnp.concatenate(
+            [pos_gas, jnp.zeros((n - n0, 3), pos_gas.dtype)])
+        gas_halo = jnp.concatenate(
+            [gas_halo, jnp.full((n - n0,), -1, gas_halo.dtype)])
+
+    def body(pos_l, halo_l):
+        return _temperature_eval(tables, d_com, boxhalf, pos_l, halo_l)
+
+    sharded = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                        out_specs=P(axis), check_vma=False)
+    u = jax.jit(sharded)(shard_array(mesh, pos_gas),
+                         shard_array(mesh, gas_halo))
+    return u[:n0]
