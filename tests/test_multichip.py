@@ -426,3 +426,46 @@ def test_sharded_temperature_matches_single_device(small_scene):
     u_pipe = temp_mod.make_temperatures(scene, parts).u
     np.testing.assert_array_equal(np.asarray(u8), np.asarray(u_pipe))
     assert (np.asarray(u8) > 0).all()
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_halo_sample_mesh_invariant(small_scene):
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    key = jax.random.PRNGKey(21)
+    n = 4096
+    kw = dict(boxsize=scene.boxsize, key=key,
+              sub_first=scene.sub_first)
+    p1g = stages.sharded_halo_sample(make_mesh(1), ha, 0, n, "gas", **kw)
+    p8g = stages.sharded_halo_sample(
+        make_mesh(min(8, jax.device_count())), ha, 0, n, "gas", **kw)
+    # fixed lane grid + counter-based per-lane keys: BIT-identical
+    np.testing.assert_array_equal(np.asarray(p1g), np.asarray(p8g))
+    p8d = stages.sharded_halo_sample(
+        make_mesh(min(8, jax.device_count())), ha, 0, n, "dm", **kw)
+    p1d = stages.sharded_halo_sample(make_mesh(1), ha, 0, n, "dm", **kw)
+    np.testing.assert_array_equal(np.asarray(p1d), np.asarray(p8d))
+    # support bounds
+    assert (np.abs(np.asarray(p8g)) <= scene.boxsize / 2 + 1e-3).all()
+    r_dm = np.linalg.norm(np.asarray(p8d), axis=-1)
+    assert (r_dm <= float(ha.r_sample_dm[0]) * 1.001).all()
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_halo_sample_matches_sequential_distribution(small_scene):
+    from scipy import stats
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    n = 8192
+    mesh = make_mesh(min(8, jax.device_count()))
+    p_sh = stages.sharded_halo_sample(
+        mesh, ha, 0, n, "gas", boxsize=scene.boxsize,
+        key=jax.random.PRNGKey(2), sub_first=scene.sub_first)
+    p_sq, acc = pos_mod.sample_halo_gas(
+        jax.random.PRNGKey(3), ha, jnp.int32(0), n, scene.boxsize)
+    r_sh = np.linalg.norm(np.asarray(p_sh), axis=-1)
+    r_sq = np.linalg.norm(np.asarray(p_sq), axis=-1)
+    d, p = stats.ks_2samp(r_sh, r_sq)
+    assert p > 0.01, f"KS D={d:.4f} p={p:.4g}"

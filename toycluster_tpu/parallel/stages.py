@@ -275,3 +275,92 @@ def sharded_temperature(mesh: Mesh, tables, d_com, pos_gas, gas_halo, *,
     u = jax.jit(sharded)(shard_array(mesh, pos_gas),
                          shard_array(mesh, gas_halo))
     return u[:n0]
+
+
+def _lane_draws(key, gid_l, round_idx):
+    """Three uniforms per GLOBAL lane id from counter-based keys —
+    independent of how lanes are sharded over the mesh."""
+    def one(g):
+        k = jax.random.fold_in(jax.random.fold_in(key, round_idx), g)
+        return jax.random.uniform(k, (3,))
+    return jax.vmap(one)(gid_l)
+
+
+def _dirs_from_uniforms(u1, u2):
+    """Isotropic unit vectors from two uniforms (positions.c:58-65)."""
+    cos_t = 2.0 * u1 - 1.0
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * const.PI * u2
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                     axis=-1)
+
+
+def sharded_halo_sample(mesh: Mesh, ha, i, n, kind, *, boxsize, key,
+                        sub_first=0, cool_core=None, p_floor=0.7,
+                        max_rounds=64):
+    """Position sampling for one halo over the mesh (positions.c:25-133
+    sharded): a FIXED oversampled lane grid with counter-based per-lane
+    keys, per-lane acceptance, and selection of the first n accepted
+    lanes in global lane order.  The draw is a pure function of the
+    global lane ids, so the result is BIT-IDENTICAL on any mesh size;
+    the conditional distribution matches the sequential engine (lanes
+    iid, acceptance per lane, draw-order selection).
+
+    The accepted lanes are combined by a psum of per-device scatter
+    buffers — O(n) replicated output, fine for the one-shot IC stage
+    (the WVT loop, where memory scaling matters, stays O(N/D))."""
+    from ..models.positions import (halo_containing_dm,
+                                    halo_containing_gas)
+    from ..ops.interp import SplineTable, spline_eval
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    i_dev = jnp.int32(i)
+
+    def body(gid_l, round_idx):
+        u = _lane_draws(key, gid_l, round_idx)
+        dirs = _dirs_from_uniforms(u[:, 0], u[:, 1])
+        if kind == "dm":
+            sq = jnp.sqrt(u[:, 2] * ha.mass_corr_fac[i_dev])
+            r = ha.a_hernq[i_dev] * sq / (1.0 - sq)
+            cand = dirs * r[:, None]
+            ok = halo_containing_dm(cand + ha.d_com[i_dev], ha,
+                                    sub_first, boxsize) == i_dev
+        else:
+            table = SplineTable(ha.minv_x[i_dev], ha.minv_y[i_dev],
+                                ha.minv_m2[i_dev])
+            r = spline_eval(table, u[:, 2] * ha.mass_gas[i_dev])
+            cand = dirs * r[:, None]
+            owner = halo_containing_gas(cand + ha.d_com[i_dev], ha,
+                                        boxsize, cool_core)
+            inside = jnp.all(jnp.abs(cand) <= boxsize / 2.0, axis=-1)
+            ok = (owner == i_dev) & inside
+        # global rank of each accepted lane = local exclusive prefix +
+        # the accepted counts of all lower-indexed devices
+        cnt_l = ok.sum()
+        counts = jax.lax.all_gather(cnt_l, axis)
+        ax = jax.lax.axis_index(axis)
+        offset = jnp.sum(jnp.where(jnp.arange(n_dev) < ax, counts, 0))
+        rank = offset + jnp.cumsum(ok) - 1
+        tgt = jnp.where(ok & (rank < n), rank, n)
+        out_l = jnp.zeros((n, 3), jnp.float32).at[tgt].set(
+            cand, mode="drop")
+        return jax.lax.psum(out_l, axis), counts.sum()
+
+    sharded = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P(axis), P()),
+        out_specs=(P(), P()), check_vma=False))
+
+    out = jnp.zeros((n, 3), jnp.float32)
+    got = 0
+    for rnd in range(max_rounds):
+        m = -(-int((n - got) / p_floor * 1.1) // (8 * n_dev)) \
+            * (8 * n_dev)
+        gids = jnp.arange(m, dtype=jnp.int32)
+        round_out, cnt = sharded(shard_array(mesh, gids),
+                                 jnp.int32(rnd))
+        # rounds after the first append after the already-filled prefix
+        out = out.at[got:].set(round_out[: n - got]) if got else round_out
+        got = min(n, got + int(cnt))  # one host sync per round
+        if got >= n:
+            return out
+    raise RuntimeError(f"halo {i} under-filled after {max_rounds} rounds")
