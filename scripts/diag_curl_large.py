@@ -105,19 +105,31 @@ def main():
 
     parts = SimpleNamespace(n_gas=N_GAS, pos=pos_u, hsml=h_u, rho=rho_u,
                             var_hsml_fac=vf_u, apot=apot)
+    # stream-kernel curl first (the production path), then the slabbed
+    # XLA expansion on the SAME structure for an apples-to-apples wall
     t0 = time.perf_counter()
-    b = bfield._curl_superblock(scene, parts, state)
+    b = bfield._curl_stream(scene, parts, state)
     b = bfield.normalise_field(scene, ha, b, pos_u)
     jax.block_until_ready(b)
+    t_stream = time.perf_counter() - t0
+    print(f"stream curl + normalise {t_stream:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    b2 = bfield._curl_superblock(scene, parts, state)
+    b2 = bfield.normalise_field(scene, ha, b2, pos_u)
+    jax.block_until_ready(b2)
     t_curl = time.perf_counter() - t0
     print(f"superblock curl + normalise {t_curl:.1f}s", flush=True)
+    bmag2 = jnp.sqrt((b2 ** 2).sum(axis=-1))
 
     bmag = jnp.sqrt((b ** 2).sum(axis=-1))
     ms = jax.devices()[0].memory_stats() or {}
     out = {
         "n_gas": N_GAS,
         "density_pass_s": round(t_dens, 1),
+        "curl_stream_s": round(t_stream, 1),
         "curl_s": round(t_curl, 1),
+        "b_max_uG_slab": round(float(bmag2.max()) * 1e6, 4),
         "b_max_uG": round(float(bmag.max()) * 1e6, 4),
         "b_median_uG": round(float(jnp.median(bmag)) * 1e6, 6),
         "finite_frac": round(float(jnp.isfinite(bmag).mean()), 6),

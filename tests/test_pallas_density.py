@@ -741,3 +741,89 @@ def test_chunk_bits_prune_exact_zeros(setup):
                               bits=bits_c, safe=safe_c)
     for a, b in zip(out_m, out_c):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stream_curl_matches_xla(setup):
+    """stream_curl_pallas must reproduce pair_ops.sph_curl (Price 2010
+    eq. 79, sph.c:216-300) in block-list and superblock mode."""
+    from toycluster_tpu.ops.pallas_pair import stream_curl_pallas
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    sel = pair_ops.full_selection(bi, cand.idx)
+    res = pair_ops.solve_density(bi, sel, h0s, cap, 1.0, BOX,
+                                 kernel="wc6", desnngb=DESNNGB,
+                                 max_iter=24)
+    # smooth synthetic vector potential over the sorted positions
+    p = bi.pos / BOX
+    apot_s = jnp.stack([jnp.sin(3.1 * p[:, 0]) + p[:, 1] ** 2,
+                        jnp.cos(2.3 * p[:, 1]) * p[:, 2],
+                        p[:, 0] * p[:, 1] + 0.5 * p[:, 2]],
+                       axis=1).astype(jnp.float32)
+    rho_s = jnp.where(bi.valid, res.rho, 1.0)
+    vf_s = jnp.where(bi.valid, res.var_hsml_fac, 0.0)
+    b_xla = pair_ops.sph_curl(bi, sel, res.hsml, rho_s, vf_s, apot_s,
+                              1.0, BOX, kernel="wc6")
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    valid_b = bi.valid.astype(jnp.float32).reshape(nb, 1, blk.BLOCK)
+    ap_t = apot_s.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    src8 = jnp.concatenate(
+        [pos_t, valid_b, ap_t,
+         jnp.zeros((nb, 1, blk.BLOCK), jnp.float32)], axis=1)
+    h_b = res.hsml.reshape(nb, blk.BLOCK)
+    wfac_b = jnp.where(bi.valid, -1.0 * vf_s / rho_s,
+                       0.0).reshape(nb, blk.BLOCK)
+
+    b_str = stream_curl_pallas(src8, cand.idx, cand.count, pos_t, h_b,
+                               wfac_b, ap_t, 1.0, BOX, kernel="wc6",
+                               interpret=True)
+    a = np.asarray(b_xla).reshape(-1, 3)[np.asarray(bi.valid)]
+    b = np.asarray(b_str).reshape(-1, 3)[np.asarray(bi.valid)]
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, rtol=5e-4, atol=2e-5 * scale)
+
+    # superblock mode over every receiver row
+    radius = cap.reshape(nb, blk.BLOCK).max(axis=1)
+    ids = jnp.arange(nb, dtype=jnp.int32)
+    cand_sb = blk.find_candidates_super(
+        bi, ids, radius, radius, BOX,
+        max_cand=max(4, bi.sb_lo.shape[0]))
+    assert int(cand_sb.overflow) <= 0
+    b_sb = stream_curl_pallas(src8, cand_sb.idx, cand_sb.count, pos_t,
+                              h_b, wfac_b, ap_t, 1.0, BOX, kernel="wc6",
+                              sb_mode=True, interpret=True)
+    b2 = np.asarray(b_sb).reshape(-1, 3)[np.asarray(bi.valid)]
+    np.testing.assert_allclose(b2, a, rtol=5e-4, atol=2e-5 * scale)
+
+
+def test_stream_curl_m4(setup):
+    from toycluster_tpu.ops.pallas_pair import stream_curl_pallas
+
+    bi, cand, h0s, cap = setup
+    nb = bi.n_blocks
+    sel = pair_ops.full_selection(bi, cand.idx)
+    res = pair_ops.solve_density(bi, sel, h0s, cap, 1.0, BOX,
+                                 kernel="m4", desnngb=50, max_iter=24)
+    p = bi.pos / BOX
+    apot_s = jnp.stack([p[:, 1], p[:, 2] ** 2, jnp.sin(2.0 * p[:, 0])],
+                       axis=1).astype(jnp.float32)
+    rho_s = jnp.where(bi.valid, res.rho, 1.0)
+    vf_s = jnp.where(bi.valid, res.var_hsml_fac, 0.0)
+    b_xla = pair_ops.sph_curl(bi, sel, res.hsml, rho_s, vf_s, apot_s,
+                              1.0, BOX, kernel="m4")
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    valid_b = bi.valid.astype(jnp.float32).reshape(nb, 1, blk.BLOCK)
+    ap_t = apot_s.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    src8 = jnp.concatenate(
+        [pos_t, valid_b, ap_t,
+         jnp.zeros((nb, 1, blk.BLOCK), jnp.float32)], axis=1)
+    b_str = stream_curl_pallas(
+        src8, cand.idx, cand.count, pos_t,
+        res.hsml.reshape(nb, blk.BLOCK),
+        jnp.where(bi.valid, -vf_s / rho_s, 0.0).reshape(nb, blk.BLOCK),
+        ap_t, 1.0, BOX, kernel="m4", interpret=True)
+    a = np.asarray(b_xla).reshape(-1, 3)[np.asarray(bi.valid)]
+    b = np.asarray(b_str).reshape(-1, 3)[np.asarray(bi.valid)]
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, rtol=5e-4, atol=2e-5 * scale)

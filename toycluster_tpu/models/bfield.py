@@ -147,6 +147,51 @@ def _curl_superblock(scene, parts, state: sph_mod.NeighbourState):
         out[:n_gas])
 
 
+def _curl_stream(scene, parts, state: sph_mod.NeighbourState):
+    """SPH curl via the Pallas stream engine (ops/pallas_pair.py
+    stream_curl_pallas): sources stream once per receiver row through
+    the superblock candidate lists, with the same member skip-bit pass
+    the density solve uses.  Replaces the slabbed XLA expansion
+    (_curl_superblock, kept as the TOYCLUSTER_CURL_STREAM=0 fallback)
+    whose at-scale cost was 5.4x an equivalent-pair-volume density pass
+    (564 s vs 106 s at 5e7, DIAG_CURL_r05.json)."""
+    from ..ops.pallas_pair import stream_curl_pallas, stream_skip_bits
+    n_gas = parts.n_gas
+    bi = state.index
+    nb = bi.n_blocks
+    pad = lambda x: sph_mod._pad_sorted(x, bi.order, bi.n_padded)  # noqa: E731
+    h_s = pad(parts.hsml[:n_gas])
+    rho_s = pad(parts.rho[:n_gas])
+    vf_s = pad(parts.var_hsml_fac[:n_gas])
+    apot_s = pad(parts.apot[:n_gas])
+
+    pos_t = bi.pos.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    valid_b = bi.valid.astype(jnp.float32).reshape(nb, 1, blk.BLOCK)
+    ap_t = apot_s.reshape(nb, blk.BLOCK, 3).transpose(0, 2, 1)
+    src8 = jnp.concatenate(
+        [pos_t, valid_b, ap_t,
+         jnp.zeros((nb, 1, blk.BLOCK), jnp.float32)], axis=1)
+    h_b = h_s.reshape(nb, blk.BLOCK)
+    wfac_b = jnp.where(
+        bi.valid, -float(scene.mpart_gas) * vf_s / rho_s,
+        0.0).reshape(nb, blk.BLOCK)
+
+    bk = state.buckets or (None, None)
+    ids_all = jnp.arange(nb, dtype=jnp.int32)
+    bits, safe = stream_skip_bits(
+        bi.bb_lo, bi.bb_hi, None, ids_all, state.cand.idx, h_b, None,
+        float(scene.boxsize), sb=True, bucket_ids=bk[0],
+        bucket_widths=bk[1])
+    out = stream_curl_pallas(
+        src8, state.cand.idx, state.cand.count, pos_t, h_b, wfac_b,
+        ap_t, float(scene.mpart_gas), float(scene.boxsize),
+        kernel=scene.config.sph_kernel, sb_mode=True, bits=bits,
+        safe=safe,
+        interpret=jax.default_backend() == "cpu")
+    return jnp.zeros((n_gas, 3), jnp.float32).at[bi.order].set(
+        out.reshape(-1, 3)[:n_gas])
+
+
 def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
                         state: sph_mod.NeighbourState | None = None
                         ) -> Particles:
@@ -165,7 +210,10 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
         state = sph_mod._build_neighbours_sb(
             parts.pos[:n_gas], parts.hsml[:n_gas], scene.boxsize)
     if state is not None and state.sb:
-        bfld = _curl_superblock(scene, parts, state)
+        if os.environ.get("TOYCLUSTER_CURL_STREAM", "1") != "0":
+            bfld = _curl_stream(scene, parts, state)
+        else:  # slabbed XLA expansion fallback (5.4x slower at 5e7)
+            bfld = _curl_superblock(scene, parts, state)
         bfld = normalise_field(scene, ha, bfld, parts.pos[:n_gas])
         return parts._replace(bfld=bfld)
 

@@ -1927,3 +1927,271 @@ def stream_wvt_pallas(src_blocks, cand, cnt, xi, h0, cap, hm_i,
     # extraction is 1.2 GB of HBM
     delta = out[:, :, 5:8] if do_disp else None
     return rho, h, vf, wk, done_f > 0.5, delta
+
+
+# --------------------------- stream SPH curl ---------------------------
+# B_i = (-m/rho_i) varHsmlFac_i sum_j dW(r,h_i)/r (d x (A_i - A_j)),
+# Price JCP 2010 eq. 79 (sph.c:216-300) — the magnetic-field curl as a
+# dynamic-streaming kernel on the same superblock candidate machinery as
+# the WVT density.  The pair difference dA = A_i - A_j is formed PER
+# PAIR inside the (B, B) tile (receiver column minus source row): a
+# split into receiver/source partial sums (S0 x A_i - T) was tried
+# first and REVERTED — the two partial sums nearly cancel wherever A
+# varies slowly, costing up to 5e-2 relative error in f32, while the
+# per-pair dA is small and cancellation-free (matches the XLA pair
+# operator to ~1e-5 median).  Sources stream once carrying (x, valid,
+# A); three (B,B) tile accumulators produce the field.  Replaces the
+# slabbed XLA expansion path (_curl_superblock), measured 564 s at 5e7
+# vs ~106 s for the equivalent-pair-volume density pass
+# (DIAG_CURL_r05.json).
+
+_CROWS = 8  # source rows per block in the curl stream: x0 x1 x2 valid
+#             a0 a1 a2 pad
+
+
+def _curl_stream_kernel(kernel_kind, mpart, boxsize, sb_nb,
+                        cand_ref, cnt_ref, bits_ref, cen_ref, pos_ref,
+                        *rest):
+    recv_refs = rest[:8]    # x0 x1 x2 h wfac a0 a1 a2, each (1, B, 1)
+    src_ref = rest[8]       # (nb*_CROWS, B) in ANY
+    out_ref = rest[9]       # (1, B, 4)
+    csc = rest[10]          # (_SLOTS*_FAN*_CROWS, B)
+    acc2 = rest[11]         # (6*B, B)
+    sem = rest[12]
+
+    s = pl.program_id(0)
+    f32 = jnp.float32
+    _GR = _FAN * _CROWS
+
+    def copy_of(g):
+        slot = jax.lax.rem(g, _SLOTS)
+        if sb_nb:
+            sb = jnp.maximum(cand_ref[s, g], 0)
+            return pltpu.make_async_copy(
+                src_ref.at[pl.ds(sb * _GR, _GR), :],
+                csc.at[pl.ds(slot * _GR, _GR), :], sem.at[slot])
+        b = jnp.maximum(cand_ref[s, g], 0)
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(b * _CROWS, _CROWS), :],
+            csc.at[pl.ds(slot * _CROWS, _CROWS), :], sem.at[slot])
+
+    def bits(g, f):
+        idx = (pos_ref[s, g] * _FAN + f if sb_nb else pos_ref[s, g])
+        word = bits_ref[s, idx >> 4]
+        return (word >> (2 * (idx & 15))) & 3
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(cnt_ref[s] > 0)
+    def _():
+        xi = [recv_refs[d][0] for d in range(3)]
+        h_i = recv_refs[3][0]
+        wfac = recv_refs[4][0]
+        ai = [recv_refs[5 + d][0] for d in range(3)]
+        n_grp = cnt_ref[s]
+        inv_box = 1.0 / boxsize
+        qinv = boxsize / float(2 ** 22)
+        xref = [cen_ref[s, d].astype(f32) * qinv for d in range(3)]
+        safe = cen_ref[s, 3] > 0
+        xi_c = [xi[d] - xref[d] for d in range(3)]
+        inv_h = 1.0 / h_i
+        h2 = h_i * h_i
+        if kernel_kind == "m4":
+            inv_h5 = inv_h * inv_h * inv_h * inv_h * inv_h
+        else:
+            norm_h5 = (1365.0 / (64.0 * const.PI)) * (
+                inv_h * inv_h * inv_h * inv_h * inv_h)
+
+        acc2[...] = jnp.zeros((3 * BLOCK, BLOCK), f32)
+
+        def tile(xjc, vj, aj, wrap):
+            dx = []
+            r2 = jnp.zeros((BLOCK, BLOCK), f32)
+            for d in range(3):
+                dd = xi_c[d] - xjc[d]
+                if wrap:
+                    dd = dd - boxsize * jnp.round(dd * inv_box)
+                dx.append(dd)
+                r2 += dd * dd
+            mask = (r2 < h2) & (r2 > 0.0) & (vj > 0.0)
+            u = jnp.sqrt(r2) * inv_h
+            # w = dW(r, h_i)/dr / r, with dW/dr per ops/kernels.py
+            if kernel_kind == "m4":
+                inv_u = jax.lax.rsqrt(jnp.maximum(r2, 1e-30)) * h_i
+                inner = 45.836623610466 * u - 30.557749073644
+                t = jnp.maximum(1.0 - u, 0.0)
+                outer = -15.278874536822 * t * t * inv_u
+                w = jnp.where(u < 0.5, inner, outer) * inv_h5
+            else:
+                t = jnp.maximum(1.0 - u, 0.0)
+                t2 = t * t
+                t3 = t2 * t
+                w = (norm_h5 * (-22.0) * t3 * t3 * t
+                     * (16.0 * u * u + 7.0 * u + 1.0))
+            w = jnp.where(mask, w, 0.0)
+            dA = [ai[d] - aj[d] for d in range(3)]   # per-pair (B, B)
+            acc2[0 * BLOCK:1 * BLOCK, :] += w * (
+                dx[2] * dA[1] - dx[1] * dA[2])
+            acc2[1 * BLOCK:2 * BLOCK, :] += w * (
+                dx[0] * dA[2] - dx[2] * dA[0])
+            acc2[2 * BLOCK:3 * BLOCK, :] += w * (
+                dx[1] * dA[0] - dx[0] * dA[1])
+
+        def stream_pass(wrap):
+            copy_of(0).start()
+
+            def body(g, _):
+                @pl.when(g + 1 < n_grp)
+                def _():
+                    copy_of(g + 1).start()
+                slot = jax.lax.rem(g, _SLOTS)
+                copy_of(g).wait()
+                for f in range(_FAN if sb_nb else 1):
+                    b2 = bits(g, f)
+
+                    @pl.when((b2 & 1) == 0)
+                    def _(f=f, slot=slot):
+                        row = (slot * _FAN + f) * _CROWS if sb_nb \
+                            else slot * _CROWS
+                        t = [csc[pl.ds(row + d, 1), :] - xref[d]
+                             for d in range(3)]
+                        if not wrap:
+                            t = [x - boxsize * jnp.round(x * inv_box)
+                                 for x in t]
+                        vj = csc[pl.ds(row + 3, 1), :]
+                        aj = [csc[pl.ds(row + 4 + d, 1), :]
+                              for d in range(3)]
+                        tile(t, vj, aj, wrap)
+                return 0
+
+            jax.lax.fori_loop(0, n_grp, body, jnp.int32(0))
+
+        @pl.when(safe)
+        def _():
+            stream_pass(False)
+
+        @pl.when(jnp.logical_not(safe))
+        def _():
+            stream_pass(True)
+
+        for d in range(3):
+            out_ref[0, :, d:d + 1] = wfac * acc2[
+                d * BLOCK:(d + 1) * BLOCK, :].sum(axis=1, keepdims=True)
+
+
+@partial(jax.jit,
+         static_argnames=("kernel", "mpart", "boxsize", "sb_mode",
+                          "interpret"))
+def stream_curl_pallas(src_blocks, cand, cnt, xi, hsml, wfac, apot_t,
+                       mpart, boxsize, *, kernel="wc6", sb_mode=False,
+                       bits=None, safe=None, interpret=False):
+    """Dynamic-streaming SPH curl.
+
+    src_blocks: (nb, 8, B) sorted sources — rows 0-2 coords (world),
+    row 3 validity (1/0), rows 4-6 the vector potential, row 7 padding.
+    cand (S, M) block ids (-1 padded) or superblock ids with sb_mode;
+    cnt (S,); xi (S, 3, B); hsml/wfac (S, B) solved smoothing length
+    and the per-receiver factor -mpart*varHsmlFac/rho; apot_t (S, 3, B)
+    receiver vector potential.  `bits`/`safe` as in stream_wvt_pallas
+    (density bit only; None packs inline with no distance pruning).
+    Returns (S, B, 3) curl in receiver order."""
+    S, M = cand.shape
+    nb = src_blocks.shape[0]
+    f32 = jnp.float32
+    mult = 2 if sb_mode else 16
+    if M % mult:
+        pad = mult - M % mult
+        cand = jnp.concatenate(
+            [cand, jnp.full((S, pad), -1, cand.dtype)], axis=1)
+        M += pad
+    m_blocks = M * _FAN if sb_mode else M
+    nw = m_blocks // 16
+
+    if bits is None:
+        if sb_mode:
+            e = (jnp.maximum(cand, 0)[:, :, None] * _FAN
+                 + jnp.arange(_FAN, dtype=jnp.int32))
+            validb = ((cand >= 0)[:, :, None] & (e < nb)).reshape(
+                S, m_blocks)
+        else:
+            validb = cand >= 0
+        b2 = (~validb).astype(jnp.int32).reshape(S, nw, 16)
+        shifts = jnp.arange(16, dtype=jnp.int32) * 2
+        bits = (b2 << shifts).sum(axis=2).astype(jnp.int32)
+    elif bits.shape[1] != nw:
+        raise ValueError(
+            f"skip-bit width {bits.shape[1]} != expected {nw}")
+
+    xi_t = xi.transpose(0, 2, 1)
+    ap_t = apot_t.transpose(0, 2, 1)
+    recvs = ([xi_t[:, :, d:d + 1] for d in range(3)]
+             + [hsml[..., None].astype(f32), wfac[..., None].astype(f32)]
+             + [ap_t[:, :, d:d + 1] for d in range(3)])
+
+    kern = partial(_curl_stream_kernel, kernel, float(mpart),
+                   float(boxsize), nb if sb_mode else 0)
+
+    def imap_s(s, *prefetch):
+        return (s, 0, 0)
+
+    cand_pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (S, M))
+    sc = _row_chunks(S, 2 * M + nw)
+    nchunk = -(-S // sc)
+    s_pad = nchunk * sc
+    cand_c = _pad_rows(cand.astype(jnp.int32), s_pad).reshape(
+        nchunk, sc, M)
+    pos_c = _pad_rows(cand_pos, s_pad).reshape(nchunk, sc, M)
+    cnt_c = jnp.concatenate(
+        [jnp.minimum(cnt.astype(jnp.int32), M),
+         jnp.zeros((s_pad - S,), jnp.int32)]).reshape(nchunk, sc)
+    bits_c = _pad_rows(bits, s_pad).reshape(nchunk, sc, nw)
+    qs = float(2 ** 22) / float(boxsize)
+    xlo = xi.min(axis=2)
+    xhi = xi.max(axis=2)
+    if safe is None:
+        r_pair = hsml.max(axis=1)
+        safe = jnp.all(0.5 * (xhi - xlo) + r_pair[:, None]
+                       < 0.49 * float(boxsize), axis=1)
+    cen = jnp.concatenate(
+        [(0.5 * (xlo + xhi) * qs).astype(jnp.int32),
+         safe.astype(jnp.int32)[:, None]], axis=1)
+    cen_c = _pad_rows(cen, s_pad).reshape(nchunk, sc, 4)
+    recv_c = [_pad_rows(r, s_pad).reshape(nchunk, sc, BLOCK, 1)
+              for r in recvs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(sc,),
+        in_specs=(
+            [pl.BlockSpec((1, BLOCK, 1), imap_s) for _ in range(8)]
+            + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)]
+        ),
+        out_specs=[pl.BlockSpec((1, BLOCK, 4), imap_s)],
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS * _FAN * _CROWS, BLOCK), f32),
+            pltpu.VMEM((3 * BLOCK, BLOCK), f32),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
+        ],
+    )
+
+    src_flat = src_blocks.reshape(-1, src_blocks.shape[-1])
+    if sb_mode:
+        need = -(-nb // _FAN) * _FAN * _CROWS
+        if src_flat.shape[0] < need:
+            src_flat = jnp.concatenate(
+                [src_flat, jnp.zeros((need - src_flat.shape[0],
+                                      src_flat.shape[1]), f32)])
+
+    def run_chunk(chunk):
+        args = list(chunk) + [src_flat]
+        (o,) = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((sc, BLOCK, 4), f32)],
+            interpret=interpret,
+        )(*args)
+        return o
+
+    out = jax.lax.map(run_chunk,
+                      tuple([cand_c, cnt_c, bits_c, cen_c, pos_c]
+                            + recv_c))
+    return out.reshape(-1, BLOCK, 4)[:S, :, :3]
