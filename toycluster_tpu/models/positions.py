@@ -215,9 +215,13 @@ def _batched_fill(key, ha, idxs, ns, kind, boxsize, sub_first=0,
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(didx)
         filled = np.zeros(H, np.int64)
         p = np.full(H, p_est)
+        m = None
         for r in range(_MAX_REJECT_ROUNDS):
             need = (cns - filled) / np.maximum(p, 0.01) * 1.08
-            m = _quant_batch(float(need.max()))
+            m_need = _quant_batch(float(need.max()))
+            # shape reuse across catch-up rounds (see _rejection_fill)
+            if m is None or m_need > 4 * m:
+                m = m_need
             subs = jax.vmap(lambda k: jax.random.fold_in(k, r))(keys)
             if kind == "dm":
                 outs, cs = _dm_rounds_batched(
@@ -258,8 +262,16 @@ def _rejection_fill(key, n, round_fn, p_est=0.92):
     c = jnp.int32(0)
     n_t = jnp.int32(n)
     filled = 0
+    m = None
     for _ in range(_MAX_REJECT_ROUNDS):
-        m = _quant_batch((n - filled) / max(p_est, 0.01) * 1.08)
+        m_need = _quant_batch((n - filled) / max(p_est, 0.01) * 1.08)
+        # reuse the FIRST round's batch shape for catch-up rounds: a
+        # smaller m would mint a new program whose first execution costs
+        # 10s-100s through the tunnel (PROFILE_r08 §6), while redrawing
+        # the full batch is ~1s of device time; only grow the shape if
+        # the acceptance estimate collapsed
+        if m is None or m_need > 4 * m:
+            m = m_need
         key, sub = jax.random.split(key)
         out, c = round_fn(sub, out, c, n_t, m)
         new_filled = int(c)   # one host sync per round; rounds are few
