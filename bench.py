@@ -49,7 +49,50 @@ def _left(budget=BUDGET_S):
     return budget - (time.perf_counter() - _T0)
 
 
+_SHARED = {"stamps": None, "n_gas": None, "contract": None,
+           "done": False}
+
+
+def _start_watchdog():
+    """Emit the JSON line NO MATTER WHAT before the capture window
+    closes: if a tunnel-weather stall (PROFILE_r08 §6) wedges a device
+    call past the budget, print whatever throughput the timed stamps
+    so far support (value null if none) and hard-exit 0 — a partial
+    capture beats the r03 rc=124/no-JSON outcome."""
+    import threading
+
+    def run():
+        while True:
+            left = BUDGET_S - (time.perf_counter() - _T0)
+            if _SHARED["done"]:
+                return
+            if left <= 8:
+                st = _SHARED["stamps"] or []
+                its = [b - a for a, b in zip(st, st[1:])]
+                n_gas = _SHARED["n_gas"]
+                val = (n_gas * len(its) / sum(its)
+                       if its and n_gas else None)
+                print(json.dumps({
+                    "metric":
+                        "wvt_relax_particle_updates_per_sec_per_chip",
+                    "value": round(val, 1) if val else None,
+                    "unit": "particle-updates/s",
+                    "vs_baseline": round(val / 7088.0, 2) if val
+                    else None,
+                    "n_gas": n_gas, "iters": len(its),
+                    "contract_frac": _SHARED["contract"],
+                    "deadline_hit": True,
+                    "total_wall_s":
+                        round(time.perf_counter() - _T0, 1),
+                }), flush=True)
+                os._exit(0)
+            time.sleep(min(5.0, max(1.0, left - 8)))
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def main():
+    _start_watchdog()
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -128,6 +171,9 @@ def main():
 
     t0 = time.perf_counter()
     stamps = [t0]
+    _SHARED["stamps"] = stamps
+    _SHARED["n_gas"] = n_gas
+    _SHARED["contract"] = round(contract_warm, 5)
 
     def log(stage, **kw):
         if stage == "wvt":
@@ -175,6 +221,7 @@ def main():
     # inherits that unmeasured factor (BASELINE.md's bar: >=50x a node)
     vs_node = vs / 13.0 if vs else None
 
+    _SHARED["done"] = True
     print(json.dumps({
         "metric": "wvt_relax_particle_updates_per_sec_per_chip",
         "value": round(updates_per_sec, 1),
