@@ -211,8 +211,18 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
             parts.pos[:n_gas], parts.hsml[:n_gas], scene.boxsize)
     if state is not None and state.sb:
         if os.environ.get("TOYCLUSTER_CURL_STREAM", "1") != "0":
-            bfld = _curl_stream(scene, parts, state)
-        else:  # slabbed XLA expansion fallback (5.4x slower at 5e7)
+            try:
+                bfld = _curl_stream(scene, parts, state)
+                jax.block_until_ready(bfld)
+            except Exception as e:  # HBM headroom varies run-to-run at
+                # 5e7 (fragmentation); the slab path peaks lower —
+                # degrade to it instead of killing a multi-hour run
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                print("[bfield] stream curl OOM; slab fallback",
+                      flush=True)
+                bfld = _curl_superblock(scene, parts, state)
+        else:  # slabbed XLA expansion fallback (17.9x slower at 5e7)
             bfld = _curl_superblock(scene, parts, state)
         bfld = normalise_field(scene, ha, bfld, parts.pos[:n_gas])
         return parts._replace(bfld=bfld)
