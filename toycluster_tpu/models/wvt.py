@@ -785,6 +785,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         grow_mask = None   # per-particle: only saturated lanes get the
         #                    grown cap, so windows stay tight
         sat_mask = sat_false   # margin-clamp lift for retry attempts
+        accept_note = None     # deferred wvt_accept marker (logged after
+        #                        the wvt event so interval-attributing
+        #                        profilers book the iteration compute to
+        #                        "wvt", not to the accept marker)
         for attempt in range(sph_mod._MAX_REBUILDS + 1):
             if state is None:
                 rho_model, h0_model, h_box = _model_fields_from_rho(
@@ -914,7 +918,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 # h this iteration (ADVICE r1): record the contract
                 # deviation so flagship artifacts can report it
                 fac_gas = fac_new_d
-                log("wvt_accept", it=it, n_accept=n_sat)
+                accept_note = n_sat
                 break
             # saturation: the build-time search radius no longer covers
             # the needed h — rebuild, growing the cap ONLY for the
@@ -923,6 +927,10 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             # next build+solve.
             pending = None
             grow_mask = hsml >= state.h_cap[:n_gas] * 0.999
+            # how many lanes are saturated at the BUILD cap (vs merely
+            # at the margin clamp)?  One scalar sync on the (rare) retry
+            # path only.
+            n_grow = int(jnp.where(grow_mask, 1, 0).sum())
             sat_mask = sat_d   # lift the margin clamp for these lanes
             # feedback: the warm margin mispredicted enough lanes to
             # cost this retry — widen it for subsequent iterations
@@ -933,7 +941,19 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             # model, so the predictor's ratio is exactly 1
             rhom_prev = rho_model_s
             del rho, hsml, vf, pos_new
-            state = None
+            if n_grow > _accept_band(n_gas):
+                # lanes genuinely outgrew the build-time search radius:
+                # the candidate lists cannot cover them — full rebuild
+                # with grown caps
+                state = None
+            # else: margin-clamp saturation only.  The build cap still
+            # covers every lane (the candidate lists were built for it),
+            # so KEEP the structure and re-solve with sat_mask lifting
+            # the clamp — saves the sort+build and, early in a
+            # relaxation when list widths are still growing, the
+            # iteration-program recompile a rebuild would mint.  The
+            # early phase of a 1e7 relaxation paid several of these
+            # (margin escalated 1.1 -> 1.455 in FLAGSHIP_r06_config3).
         else:
             raise RuntimeError(
                 f"hsml solve saturated for {n_sat} particles after "
@@ -953,6 +973,12 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
         log("wvt", it=it, err_max=round(err_max, 4),
             err_mean=round(err_mean, 5), err_diff=round(err_diff, 5),
             step=step, margin=round(margin_warm, 3))
+        if accept_note is not None:
+            # zero-width marker AFTER the wvt event: the iteration's
+            # compute is booked to "wvt" by interval-attributing
+            # profilers (run_flagship), and the accept count stays
+            # visible for contract accounting
+            log("wvt_accept", it=it, n_accept=accept_note)
 
         # stopping rules (host), then adopt the device-side post-shrink
         # move (wvt_relax.c:94-101 ordering — pos_new was computed with
