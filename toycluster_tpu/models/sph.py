@@ -267,7 +267,11 @@ def _trim_and_buckets(cand):
     width_full = cand.idx.shape[1]
     b_ids, b_widths = [], []
     prev = 0
-    w = 64
+    # ladder start 64: finer ladders were A/B-measured SLOWER (a
+    # 16-start added two buckets and each bucket pays a full
+    # (S, nw_full) result scatter — the bits-word write, not the
+    # member gather, binds below width 64)
+    w = int(os.environ.get("TOYCLUSTER_BUCKET_MIN_W", "64"))
     seen = _BUCKET_MEMO.setdefault(nb_rows, set())
     while prev < width_full:
         w_eff = min(w, width_full)

@@ -913,7 +913,8 @@ _SLOTS = 2  # DMA double buffer
 
 _BITS_CHUNK = 1024  # rows per chunk in stream_skip_bits (bounds temps)
 
-_N_CHUNKS = 8  # 16-particle sub-chunks per block for the chunk test
+_N_CHUNKS = int(__import__("os").environ.get(
+    "TOYCLUSTER_N_CHUNKS", "8"))  # sub-chunks per block (chunk test)
 
 
 def build_chunk_tab(pos_t, hm_src_b, n_chunks=_N_CHUNKS):
