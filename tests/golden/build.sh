@@ -1,10 +1,24 @@
 #!/bin/sh
-# Rebuild the golden snapshot files from the UNMODIFIED reference writer.
-# io.c needs no GSL symbols; the gslstub headers satisfy the includes.
+# Rebuild the golden files from the UNMODIFIED reference sources.
+# - gen_golden: the snapshot writer (io.c needs no GSL symbols)
+# - gen_setup: the full scene construction (setup.c against the
+#   gslstub QAG + cspline implementations), with the Makefile's
+#   default model flags (reference Makefile:4-25)
 set -e
 cd "$(dirname "$0")"
+REFFLAGS="-DNFWC_DUFFY08 -DBETA=0.54 -DCOMET -DNO_RCUT_IN_T"
 gcc -O1 -fopenmp -fcommon -I gslstub -I /root/reference/src \
     gen_golden.c /root/reference/src/io.c /root/reference/src/aux.c \
     -o gen_golden -lm
 ./gen_golden
-ls -l golden_mixed.bin golden_dmonly.bin
+gcc -O1 -fopenmp -fcommon $REFFLAGS -I gslstub -I /root/reference/src \
+    gen_setup.c /root/reference/src/io.c /root/reference/src/setup.c \
+    /root/reference/src/cosmo.c /root/reference/src/unit.c \
+    /root/reference/src/aux.c -o gen_setup -lm
+./gen_setup /root/reference/cluster.par | grep PARITY \
+    > setup_table_cluster.txt
+sed 's/^Mass_Ratio  0 %.3125/Mass_Ratio  0.3125/; s/^Cuspy       0/Cuspy       1/' \
+    /root/reference/cluster.par > merger.par
+./gen_setup merger.par | grep PARITY > setup_table_merger.txt
+ls -l golden_mixed.bin golden_dmonly.bin \
+    setup_table_cluster.txt setup_table_merger.txt
