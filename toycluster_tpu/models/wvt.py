@@ -106,11 +106,23 @@ _BITS_MARGIN_WARM = float(_os.environ.get(
 _BITS_MARGIN_COLD = 1.25
 
 
-def _accept_band(n_gas):
+def _accept_band(n_gas, it=None):
     """Saturated-lane count below which the loop accepts the capped h
     for this iteration instead of rebuilding (the reference's
-    NGBMAX-truncation role, globals.h:50)."""
-    return max(32, n_gas // 20_000)
+    NGBMAX-truncation role, globals.h:50).
+
+    The band is WIDE (2%) for the first iterations: at a cold-started
+    1e7 merger ~1% of lanes (sparse outskirts) saturate the model-cap
+    at it=0-1 and used to trigger two full rebuild storms — failed
+    solves plus freshly-minted program shapes, ~60-100 s — before
+    ratcheting to the same capped state the band now accepts outright.
+    Accepted lanes self-heal: the accept path ratchets their cap 1.6x
+    per iteration, and everything is still moving O(h) per step that
+    early.  From it=3 the tight steady-state band guards the contract."""
+    base = max(32, n_gas // 20_000)
+    if it is not None and it < 3:
+        return max(base, n_gas // 50)
+    return base
 
 
 @jax.jit
@@ -268,7 +280,10 @@ def _make_large_iter_fn(n_gas, n_padded, mpart, boxsize, desnngb,
         pos_new = pos_gas + delta[:n_gas] * (step_new * boxsize)
         pos_new = pos_new - jnp.floor(pos_new / boxsize) * boxsize
         # accept-path cap ratchet on device (see _get_iter_fn epilogue)
-        accept = (n_sat > 0) & (n_sat <= _accept_band(n_gas))
+        band = jnp.where(it_d < 3,
+                         jnp.int32(_accept_band(n_gas, 0)),
+                         jnp.int32(_accept_band(n_gas)))
+        accept = (n_sat > 0) & (n_sat <= band)
         fac_new = jnp.where(
             accept & (hsml[:n_gas] >= h_cap_pad[:n_gas] * 0.999),
             jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
@@ -607,7 +622,10 @@ def _get_iter_fn(class_shape, n_gas, n_padded, mpart, boxsize, desnngb,
         # branch) so the loop can speculatively dispatch it+1 before
         # fetching this iteration's n_sat: for n_sat in the accept band
         # the only state change is fac_gas, now pre-applied here
-        accept = (n_sat > 0) & (n_sat <= _accept_band(n_gas))
+        band = jnp.where(it_d < 3,
+                         jnp.int32(_accept_band(n_gas, 0)),
+                         jnp.int32(_accept_band(n_gas)))
+        accept = (n_sat > 0) & (n_sat <= band)
         fac_new = jnp.where(
             accept & (hsml[:n_gas] >= h_cap_pad[:n_gas] * 0.999),
             jnp.minimum(fac_gas * 1.6, _FAC_MAX), fac_gas)
@@ -731,6 +749,23 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
     # Runaway guard: past _FAC_MAX a lane accepts the cap-clamped h —
     # the reference's NGBMAX=2360 list cap (globals.h:50) role.
     fac_gas = jnp.full((n_gas,), sph_mod._CAP_FACTOR, jnp.float32)
+    # cold-start cap boost for the sparse tail: at a 1e7 merger, ~1% of
+    # lanes (the rcut-taper outskirts, where the local model rho badly
+    # underestimates the h that reaches back into the bulk) saturate
+    # the 1.2x model cap and ratchet to _FAC_MAX over TWO rebuild
+    # storms at it=0/1 — each a full failed solve plus new program
+    # shapes (measured ~60 s of FLAGSHIP_r07 config 3).  Boosting the
+    # top-2% metric-h lanes straight to the ratchet's endpoint skips
+    # the storms; warm resumes (h_prev > 0) never take this path.
+    if not bool((h_prev > 0).any()):
+        rho0_m = sph_mod.global_density_model(
+            pos_gas, ha, boxsize, cool_core, beta=beta_u)
+        h0m = (desnngb * mpart / rho0_m
+               / const.FOURPITHIRD) ** (1.0 / 3.0)
+        fac_gas = jnp.where(
+            h0m > jnp.percentile(h0m, 98.0), _FAC_MAX,
+            sph_mod._CAP_FACTOR).astype(jnp.float32)
+        del rho0_m, h0m
     # margin-clamp lift mask (all-False on the normal path): lanes that
     # saturated on a rebuild attempt solve against the FULL build cap on
     # the retry instead of crawling up at _BITS_MARGIN_WARM per attempt
@@ -871,13 +906,16 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 drift_acc = 0.0
                 sort_drift_acc = 0.0
                 mem = (jax.local_devices()[0].memory_stats() or {})
+                from ..utils.memory import est_live_gib
                 log("wvt_build", it=it, attempt=attempt,
                     max_cand=state.max_cand, classes=class_shape,
                     tail=tail_shape,
                     n_sat=int(n_sat_d) if attempt else 0,
                     hbm_gib=round(mem.get("bytes_in_use", 0) / 2**30, 2),
                     hbm_peak_gib=round(
-                        mem.get("peak_bytes_in_use", 0) / 2**30, 2))
+                        mem.get("peak_bytes_in_use", 0) / 2**30, 2),
+                    hbm_est_gib=est_live_gib(
+                        state, pos_gas, h_prev, rhom_prev, fac_gas))
 
             if pending is not None and pending[0] == it:
                 out = pending[1]
@@ -928,7 +966,7 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
             if n_sat == 0:
                 fac_gas = fac_new_d
                 break
-            if n_sat <= _accept_band(n_gas):
+            if n_sat <= _accept_band(n_gas, it):
                 # a handful of freshly-saturated lanes each iteration is
                 # the steady state of merger configs; accept their
                 # capped h now (the reference accepts NGBMAX-truncated

@@ -64,9 +64,12 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
     ha = halo_arrays_from_scene(scene)
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
 
+    from .utils.memory import est_live_gib
+
     parts = pos_mod.make_positions(key, scene, ha)
     jax.block_until_ready(parts.pos)  # truthful stage attribution
-    log("positions", n=parts.n_total)
+    log("positions", n=parts.n_total,
+        hbm_est_gib=est_live_gib(parts, ha))
 
     pid = ids_mod.make_ids(scene.npart_gas, scene.ntotal)
     parts = parts._replace(pid=jnp.asarray(pid))
@@ -124,7 +127,8 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
             parts, nstate = sph.find_sph_quantities(scene, ha, parts,
                                                     return_state=True)
             jax.block_until_ready(parts.rho)
-            log("sph_quantities")
+            log("sph_quantities",
+                hbm_est_gib=est_live_gib(parts, ha, nstate))
         if check:
             _check_density(scene, parts, log)
         if cfg.bfld_norm:
@@ -133,7 +137,11 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
             # curl dispatch drains into the next host-syncing stage
             # (the r05 config-5 artifact booked it under mass_census)
             jax.block_until_ready(parts.bfld)
-            log("magnetic_field")
+            # standing footprint entering/leaving the curl: the 5e7
+            # stream-curl OOM (PROFILE_r08 §6 run D) was a transient on
+            # TOP of this number — the margin statement the fallback
+            # needs (bfield.py OOM -> slab path)
+            log("magnetic_field", hbm_est_gib=est_live_gib(parts, ha))
         cool_core = ((cfg.rho0_fac, cfg.rc_fac)
                      if cfg.double_beta_cool_cores else None)
         parts, _ = pos_mod.reassign_gas_to_halos(parts, ha, scene.boxsize,
@@ -143,12 +151,12 @@ def make_ics(cfg: Config, *, seed: Optional[int] = None,
         pos_mod.show_mass_in_r200(scene, parts, log=log)  # main.c:60
         parts = temperature.make_temperatures(scene, parts)
         jax.block_until_ready(parts.u)
-        log("temperatures")
+        log("temperatures", hbm_est_gib=est_live_gib(parts, ha))
 
     from .models import velocities, kinematics
     parts = velocities.make_velocities(key, scene, ha, parts)
     jax.block_until_ready(parts.vel)
-    log("velocities")
+    log("velocities", hbm_est_gib=est_live_gib(parts, ha))
 
     parts = kinematics.apply_kinematics(scene, parts)
     jax.block_until_ready(parts.vel)
