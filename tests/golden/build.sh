@@ -20,5 +20,16 @@ gcc -O1 -fopenmp -fcommon $REFFLAGS -I gslstub -I /root/reference/src \
 sed 's/^Mass_Ratio  0 %.3125/Mass_Ratio  0.3125/; s/^Cuspy       0/Cuspy       1/' \
     /root/reference/cluster.par > merger.par
 ./gen_setup merger.par | grep PARITY > setup_table_merger.txt
+# WVT trajectory oracle: the reference relaxation loop + full sph.c
+# with the in-tree brute-force neighbour fallback (wvt_relax.c:296-340)
+REFSRC="/root/reference/src/io.c /root/reference/src/setup.c \
+    /root/reference/src/cosmo.c /root/reference/src/unit.c \
+    /root/reference/src/aux.c /root/reference/src/wvt_relax.c \
+    /root/reference/src/sph.c"
+gcc -O2 -fopenmp -fcommon $REFFLAGS -I gslstub -I /root/reference/src \
+    gen_wvt.c $REFSRC -o gen_wvt -lm
+gcc -O2 -fopenmp -fcommon $REFFLAGS -DSPH_CUBIC_SPLINE \
+    -I gslstub -I /root/reference/src \
+    gen_wvt.c $REFSRC -o gen_wvt_m4 -lm
 ls -l golden_mixed.bin golden_dmonly.bin \
-    setup_table_cluster.txt setup_table_merger.txt
+    setup_table_cluster.txt setup_table_merger.txt gen_wvt gen_wvt_m4

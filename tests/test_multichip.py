@@ -406,6 +406,62 @@ def test_sharded_dm_speeds_match_single_device(small_scene):
 
 @pytest.mark.skipif(jax.device_count() < 2,
                     reason="needs multiple (virtual) devices")
+def test_sharded_dm_velocities_mesh_invariant(small_scene):
+    from toycluster_tpu.models import velocities as vel_mod
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    n_gas = parts.n_gas
+    d = parts.pos[n_gas:] - (ha.d_com[0] + scene.boxhalf)
+    r = jnp.linalg.norm(d, axis=-1)
+    vt = vel_mod.build_velocity_tables(scene, 0)
+    key = jax.random.PRNGKey(13)
+    bulk = jnp.asarray([120.0, -40.0, 7.0], jnp.float32)
+    v1 = stages.sharded_dm_velocities(make_mesh(1), vt, r, key=key,
+                                      bulk_vel=bulk)
+    v8 = stages.sharded_dm_velocities(
+        make_mesh(min(8, jax.device_count())), vt, r, key=key,
+        bulk_vel=bulk)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
+    # speeds bounded by the escape speed around the bulk frame
+    psi = np.asarray(vel_mod.potential_device(vt, jnp.maximum(r, 0.1)))
+    sp = np.linalg.norm(np.asarray(v8) - np.asarray(bulk), axis=-1)
+    assert (sp <= np.sqrt(2 * psi) * (1 + 1e-5)).all()
+    # isotropy: mean peculiar direction ~ 0
+    pec = np.asarray(v8) - np.asarray(bulk)
+    nz = sp > 0
+    mean_dir = (pec[nz] / sp[nz, None]).mean(axis=0)
+    assert np.abs(mean_dir).max() < 0.05
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
+def test_sharded_gas_bulk_matches_single_chip(small_scene):
+    from toycluster_tpu.models.velocities import _gas_bulk_jit
+    from toycluster_tpu.parallel import stages
+    cfg, scene, ha, parts = small_scene
+    n_gas = parts.n_gas
+    bulk_stack = jnp.asarray(
+        np.stack([h.bulk_vel for h in scene.halos]), jnp.float32)
+    bulk_stack = bulk_stack + 55.0  # make the add observable
+    sub_hh = jnp.asarray([h.r_sample_gas * 1.1 for h in scene.halos],
+                         jnp.float32)
+    args = dict(sub_first=scene.sub_first, n_halos=scene.nhalos,
+                boxhalf=scene.boxhalf)
+    dv1 = stages.sharded_gas_bulk(
+        make_mesh(1), parts.pos[:n_gas], parts.halo[:n_gas],
+        bulk_stack, ha.d_com, sub_hh, **args)
+    dv8 = stages.sharded_gas_bulk(
+        make_mesh(min(8, jax.device_count())), parts.pos[:n_gas],
+        parts.halo[:n_gas], bulk_stack, ha.d_com, sub_hh, **args)
+    np.testing.assert_array_equal(np.asarray(dv1), np.asarray(dv8))
+    ref = _gas_bulk_jit(parts.pos[:n_gas], parts.halo[:n_gas],
+                        bulk_stack, ha.d_com, sub_hh, scene.sub_first,
+                        scene.nhalos, scene.boxhalf)
+    np.testing.assert_array_equal(np.asarray(dv8), np.asarray(ref))
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs multiple (virtual) devices")
 def test_sharded_temperature_matches_single_device(small_scene):
     from toycluster_tpu.models import temperature as temp_mod
     from toycluster_tpu.parallel import stages

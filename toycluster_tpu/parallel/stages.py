@@ -247,6 +247,67 @@ def sharded_dm_speeds(mesh: Mesh, vt, r_dm, *, key):
     return v[:n0]
 
 
+def sharded_dm_velocities(mesh: Mesh, vt, r_dm, *, key, bulk_vel):
+    """Full DM velocity vectors for ONE halo over the mesh
+    (velocities.c:62-117): sharded speed sampling (sharded_dm_speeds),
+    isotropic directions from per-particle counter-based keys, plus the
+    halo's bulk velocity.  Counter-based draws split by GLOBAL particle
+    index keep the result bit-identical on any mesh size."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    v = sharded_dm_speeds(mesh, vt, r_dm, key=key)   # (n0,) speeds
+
+    n0 = r_dm.shape[0]
+    q = 8 * n_dev
+    n = -(-n0 // q) * q
+    v_pad = (jnp.concatenate([v, jnp.zeros((n - n0,), v.dtype)])
+             if n > n0 else v)
+    kdir = jax.random.fold_in(key, 0x5EED)
+
+    def body(v_l, gid_l):
+        u = _lane_draws(kdir, gid_l, 0)
+        dirs = _dirs_from_uniforms(u[:, 0], u[:, 1])
+        return v_l[:, None] * dirs
+
+    sharded = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                        out_specs=P(axis), check_vma=False)
+    gids = jnp.arange(n, dtype=jnp.int32)
+    vel = jax.jit(sharded)(shard_array(mesh, v_pad),
+                           shard_array(mesh, gids))
+    return vel[:n0] + jnp.asarray(bulk_vel, jnp.float32)
+
+
+def sharded_gas_bulk(mesh: Mesh, pos_gas, gas_halo, bulk_stack, d_com,
+                     sub_hh, *, sub_first, n_halos, boxhalf):
+    """Gas bulk-velocity term over the mesh (velocities.c:119-151):
+    each gas particle gets its halo's bulk velocity, tapered for
+    subhalos by the WC2 kernel weight of its distance from the subhalo
+    centre.  Pure elementwise map with the small per-halo tables
+    replicated — bit-identical on any mesh size."""
+    from ..models.velocities import _gas_bulk_jit
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    n0 = pos_gas.shape[0]
+    q = 8 * n_dev
+    n = -(-n0 // q) * q
+    if n > n0:
+        pos_gas = jnp.concatenate(
+            [pos_gas, jnp.zeros((n - n0, 3), pos_gas.dtype)])
+        gas_halo = jnp.concatenate(
+            [gas_halo, jnp.zeros((n - n0,), gas_halo.dtype)])
+
+    def body(pos_l, halo_l):
+        return _gas_bulk_jit(pos_l, halo_l, bulk_stack, d_com, sub_hh,
+                             sub_first, n_halos, boxhalf)
+
+    sharded = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                        out_specs=P(axis), check_vma=False)
+    dv = jax.jit(sharded)(shard_array(mesh, pos_gas),
+                          shard_array(mesh, gas_halo))
+    return dv[:n0]
+
+
 def sharded_temperature(mesh: Mesh, tables, d_com, pos_gas, gas_halo, *,
                         boxhalf):
     """Hydrostatic internal energy over the mesh (temperature.c:8-44):
