@@ -947,7 +947,15 @@ def regularise_sph_particles(scene: Scene, ha: HaloArrays,
                 or (sort_drift_acc + 1.5 * drift_inc_last
                     > _SORT_DRIFT_BUDGET)
                 or state.tail is not None)
-            if speculate and it < max_iter and not predict_rebuild:
+            # ... and so is the convergence stop near the end: once
+            # err_diff has decayed under ~2x the limit past it=25, the
+            # next fetch will almost surely break — an in-flight
+            # discarded iteration would still execute on the device and
+            # stall the epilogue behind it (~1 full iteration of wall)
+            predict_stop = (it >= 25
+                            and err_diff_last < err_limit * 2.0)
+            if (speculate and it < max_iter and not predict_rebuild
+                    and not predict_stop):
                 pending = (it + 1, iter_fn(
                     pos_new, hsml, rho_model_s, state.h_cap,
                     sat_false, jnp.float32(margin_warm),
