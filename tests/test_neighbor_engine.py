@@ -238,3 +238,39 @@ def test_hard_h_cap_thresholds():
     # beyond it -> the box/3 escape hatch (all-to-all unaffordable)
     assert hard_h_cap(box, n_small + blk.BLOCK * blk.SUPER) \
         == pytest.approx(box / 3.0)
+
+
+def test_two_pass_candidates_exact():
+    """The probe-then-fallback candidate search (blocks.py
+    find_candidates_super, max_cand > _K_PROBE) must return exactly the
+    single-pass result: same ids, order, counts, overflow."""
+    import jax
+
+    rng = np.random.default_rng(4)
+    n = 400_000   # ~390 superblocks: rows can exceed the probe width
+    box = 1000.0
+    # clustered cloud: a dense core so a few rows genuinely exceed the
+    # probe width while most stay far below it
+    core = rng.normal(500.0, 20.0, size=(n // 2, 3))
+    rest = rng.uniform(0.0, box, size=(n - n // 2, 3))
+    pos = jnp.asarray(np.clip(np.concatenate([core, rest]), 0.0,
+                              box - 1e-3), jnp.float32)
+    bi = blk.build_blocks(pos, box)
+    nb = bi.n_blocks
+    radius = jnp.full((nb,), 40.0, jnp.float32)
+    # oversized reach on a few receivers: forces their counts past the
+    # probe width
+    radius = radius.at[:3].set(700.0)
+    sym = jnp.zeros((nb,), jnp.float32)
+    rec = jnp.arange(nb, dtype=jnp.int32)
+
+    two = blk.find_candidates_super(bi, rec, radius, sym, box,
+                                    max_cand=512)
+    ref = blk._find_candidates_super_k(bi, rec, radius, sym, box,
+                                       max_cand=512)
+    assert int(two.count.max()) > blk._K_PROBE  # fallback engaged
+    np.testing.assert_array_equal(np.asarray(two.idx),
+                                  np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(two.count),
+                                  np.asarray(ref.count))
+    assert int(two.overflow) == int(ref.overflow)

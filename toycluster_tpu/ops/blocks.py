@@ -270,18 +270,11 @@ def find_candidates(bi: BlockIndex, radius, boxsize, *, max_cand: int,
 
 
 @partial(jax.jit, static_argnames=("max_cand",))
-def find_candidates_super(bi: BlockIndex, rec_ids, radius, radius_sym,
-                          boxsize, *, max_cand: int) -> CandidateList:
-    """SUPERBLOCK-granular candidate lists for a subset of receiver
-    blocks — the far-tail rows whose block-granular lists overflow (their
-    bbox+radius windows sweep in the dense center's thousands of blocks;
-    SUPER-fold compression keeps the lists bounded with exact coverage,
-    the kernels mask the non-hit blocks of each hit superblock).
-
-    rec_ids: (T,) receiver block ids (-1 padded); radius/radius_sym are
-    the full (nb,) per-block arrays.  Ranges use the conservative
-    per-superblock max of the member radii, so the hit set is a superset
-    of the block-granular one."""
+def _find_candidates_super_k(bi: BlockIndex, rec_ids, radius,
+                             radius_sym, boxsize, *,
+                             max_cand: int) -> CandidateList:
+    """Single-pass superblock candidate sweep at list width max_cand —
+    see find_candidates_super for semantics."""
     nb = bi.n_blocks
     ns = bi.sb_lo.shape[0]
 
@@ -331,4 +324,65 @@ def find_candidates_super(bi: BlockIndex, rec_ids, radius, radius_sym,
     count = count.reshape(-1)[:t]
     return CandidateList(idx=idx, count=count,
                          overflow=count.max() - max_cand,
+                         sb_overflow=jnp.zeros((), jnp.int32))
+
+
+_K_PROBE = 256       # probe width of the two-pass candidate search
+_SUBSET_MEMO: dict = {}   # ns -> sticky quantized fallback-row count
+
+
+def find_candidates_super(bi: BlockIndex, rec_ids, radius, radius_sym,
+                          boxsize, *, max_cand: int) -> CandidateList:
+    """SUPERBLOCK-granular candidate lists for a subset of receiver
+    blocks — the far-tail rows whose block-granular lists overflow (their
+    bbox+radius windows sweep in the dense center's thousands of blocks;
+    SUPER-fold compression keeps the lists bounded with exact coverage,
+    the kernels mask the non-hit blocks of each hit superblock).
+
+    rec_ids: (T,) receiver block ids (-1 padded); radius/radius_sym are
+    the full (nb,) per-block arrays.  Ranges use the conservative
+    per-superblock max of the member radii, so the hit set is a superset
+    of the block-granular one.
+
+    TWO-PASS when max_cand > _K_PROBE: the top_k that distance-orders
+    each row's list costs O(ns * k) per row, and at merger scales a
+    HANDFUL of outskirt rows (FAC_MAX caps) force the sticky width to
+    ~1500 while p50 counts sit below 100 — paying k=1500 for every row
+    made the candidate sweep the dominant build/refresh cost (~2 s at
+    config-3 widths vs 0.28 s at the bench's 128).  Pass 1 probes at
+    k=_K_PROBE (hit COUNTS are exact regardless of k); only rows whose
+    count exceeds the probe re-run at the full width.  The output is
+    IDENTICAL to the single-pass form: a row with count <= k keeps all
+    its hits in the same distance order either way
+    (tests/test_neighbor_engine.py::test_two_pass_candidates_exact)."""
+    if max_cand <= _K_PROBE:
+        return _find_candidates_super_k(bi, rec_ids, radius, radius_sym,
+                                        boxsize, max_cand=max_cand)
+    probe = _find_candidates_super_k(bi, rec_ids, radius, radius_sym,
+                                     boxsize, max_cand=_K_PROBE)
+    counts = np.asarray(probe.count)       # one host sync — the
+    #                                        callers sync counts anyway
+    t = counts.shape[0]
+    idx = jnp.concatenate(
+        [probe.idx,
+         jnp.full((t, max_cand - _K_PROBE), -1, jnp.int32)], axis=1)
+    over_rows = np.nonzero(counts > _K_PROBE)[0]
+    if over_rows.size:
+        ns = bi.sb_lo.shape[0]
+        m = max(64, 1 << (int(over_rows.size) - 1).bit_length())
+        m = max(m, _SUBSET_MEMO.get(ns, 0))
+        _SUBSET_MEMO[ns] = m
+        rec_np = np.asarray(rec_ids)
+        sub_ids = np.full((m,), -1, np.int32)
+        n_over = min(over_rows.size, m)
+        sub_ids[:n_over] = rec_np[over_rows[:n_over]]
+        full = _find_candidates_super_k(
+            bi, jnp.asarray(sub_ids), radius, radius_sym, boxsize,
+            max_cand=max_cand)
+        tgt = np.full((m,), t, np.int64)
+        tgt[:n_over] = over_rows[:n_over]
+        idx = idx.at[jnp.asarray(tgt)].set(full.idx, mode="drop")
+    return CandidateList(idx=idx, count=probe.count,
+                         overflow=jnp.int32(int(counts.max())
+                                            - max_cand),
                          sb_overflow=jnp.zeros((), jnp.int32))
