@@ -211,6 +211,7 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
             parts.pos[:n_gas], parts.hsml[:n_gas], scene.boxsize)
     if state is not None and state.sb:
         if os.environ.get("TOYCLUSTER_CURL_STREAM", "1") != "0":
+            oom = False
             try:
                 bfld = _curl_stream(scene, parts, state)
                 jax.block_until_ready(bfld)
@@ -219,6 +220,15 @@ def make_magnetic_field(scene: Scene, ha: HaloArrays, parts: Particles,
                 # degrade to it instead of killing a multi-hour run
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
+                oom = True
+                bfld = None
+            if oom:
+                # the fallback MUST run outside the except block: the
+                # in-flight exception's traceback pins _curl_stream's
+                # frame — including its device buffers — and the slab
+                # path then OOMs too (observed at 5e7, config-5 r5b)
+                import gc
+                gc.collect()
                 print("[bfield] stream curl OOM; slab fallback",
                       flush=True)
                 bfld = _curl_superblock(scene, parts, state)
